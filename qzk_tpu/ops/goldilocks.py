@@ -1,0 +1,241 @@
+"""Goldilocks field arithmetic — host-side numpy reference semantics.
+
+p = 2^64 - 2^32 + 1.  All values are kept **canonical** (in [0, p)) at
+every API boundary.  This module is the semantic oracle for the JAX /
+Pallas device kernels (see goldilocks_jax.py): every device kernel has a
+bit-exactness test against these functions.
+
+Semantics mirror the field trait surface the reference uses
+(`/root/reference/common/src/utils.rs:93-145` — `to_canonical_u64`,
+`from_noncanonical_u64`, `F::ORDER`), re-derived from the published
+Goldilocks field definition; no code is shared with the reference.
+
+Vectorized over numpy uint64 arrays with explicit 32-bit-split
+multiplication (numpy has no 128-bit integers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# The Goldilocks prime.
+P = 0xFFFFFFFF_00000001
+# 2^64 mod p == 2^32 - 1 (used for wrap-around corrections).
+EPSILON = 0xFFFFFFFF
+
+_P = np.uint64(P)
+_EPS = np.uint64(EPSILON)
+_U32 = np.uint64(0xFFFFFFFF)
+_32 = np.uint64(32)
+
+# Multiplicative group generator (plonky2 convention) and the 2-adicity
+# of the field: p - 1 = 2^32 * 4294967295.
+GENERATOR = 7
+TWO_ADICITY = 32
+# Order-2^32 subgroup generator: g^((p-1)/2^32) mod p with g = 7.
+POWER_OF_TWO_GENERATOR = pow(GENERATOR, (P - 1) >> TWO_ADICITY, P)
+
+
+def _as_u64(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint64)
+
+
+def add(a, b) -> np.ndarray:
+    """(a + b) mod p for canonical a, b."""
+    a = _as_u64(a)
+    b = _as_u64(b)
+    with np.errstate(over="ignore"):
+        s = a + b
+        carry = s < a
+        s = s + carry.astype(np.uint64) * _EPS
+        s = np.where(s >= _P, s - _P, s)
+    return s
+
+
+def sub(a, b) -> np.ndarray:
+    """(a - b) mod p for canonical a, b."""
+    a = _as_u64(a)
+    b = _as_u64(b)
+    with np.errstate(over="ignore"):
+        d = a - b
+        borrow = a < b
+        d = d - borrow.astype(np.uint64) * _EPS
+    return d
+
+
+def neg(a) -> np.ndarray:
+    a = _as_u64(a)
+    return np.where(a == 0, np.uint64(0), _P - a)
+
+
+def _mul_64_64(a, b):
+    """Full 64x64 -> 128-bit product as (lo64, hi64) numpy uint64."""
+    a = _as_u64(a)
+    b = _as_u64(b)
+    a0 = a & _U32
+    a1 = a >> _32
+    b0 = b & _U32
+    b1 = b >> _32
+    with np.errstate(over="ignore"):
+        p00 = a0 * b0
+        p01 = a0 * b1
+        p10 = a1 * b0
+        p11 = a1 * b1
+        # lo = p00 + ((p01 + p10) << 32), tracking carries.
+        mid = p01 + (p00 >> _32)  # <= (2^32-1)^2/2^32 + ... fits u64
+        mid_carry = mid < p01
+        mid2 = mid + p10
+        mid2_carry = mid2 < mid
+        lo = (p00 & _U32) | (mid2 << _32)
+        hi = (
+            p11
+            + (mid2 >> _32)
+            + (mid_carry.astype(np.uint64) << _32)
+            + (mid2_carry.astype(np.uint64) << _32)
+        )
+    return lo, hi
+
+
+def reduce128(lo, hi) -> np.ndarray:
+    """Reduce a 128-bit value (hi * 2^64 + lo) into [0, p).
+
+    Uses 2^64 ≡ 2^32 - 1 and 2^96 ≡ -1 (mod p):
+      value ≡ lo - hi_hi + hi_lo * (2^32 - 1)  (mod p)
+    """
+    lo = _as_u64(lo)
+    hi = _as_u64(hi)
+    hi_hi = hi >> _32
+    hi_lo = hi & _U32
+    with np.errstate(over="ignore"):
+        t = lo - hi_hi
+        borrow = lo < hi_hi
+        t = t - borrow.astype(np.uint64) * _EPS
+        a = hi_lo * _EPS  # < 2^64
+        s = t + a
+        carry = s < t
+        s = s + carry.astype(np.uint64) * _EPS
+        s = np.where(s >= _P, s - _P, s)
+        s = np.where(s >= _P, s - _P, s)
+    return s
+
+
+def mul(a, b) -> np.ndarray:
+    """(a * b) mod p for canonical a, b."""
+    lo, hi = _mul_64_64(a, b)
+    return reduce128(lo, hi)
+
+
+def square(a) -> np.ndarray:
+    return mul(a, a)
+
+
+def exp(base, e: int) -> np.ndarray:
+    """base^e mod p (e a python int >= 0), vectorized over base."""
+    result = np.full_like(_as_u64(base), np.uint64(1))
+    acc = _as_u64(base).copy()
+    while e > 0:
+        if e & 1:
+            result = mul(result, acc)
+        acc = mul(acc, acc)
+        e >>= 1
+    return result
+
+
+def inverse(a) -> np.ndarray:
+    """a^-1 mod p (a != 0), via Fermat: a^(p-2)."""
+    a = _as_u64(a)
+    if np.any(a == 0):
+        raise ZeroDivisionError("inverse of zero in Goldilocks field")
+    return exp(a, P - 2)
+
+
+def canonicalize(a) -> np.ndarray:
+    """Map arbitrary u64 values into [0, p) (from_noncanonical_u64)."""
+    a = _as_u64(a)
+    return np.where(a >= _P, a - _P, a)
+
+
+def batch_inverse(a) -> np.ndarray:
+    """Montgomery batch inversion of a flat array (all nonzero)."""
+    a = _as_u64(a).ravel()
+    n = a.shape[0]
+    if n == 0:
+        return a
+    prefix = np.empty(n, dtype=np.uint64)
+    acc = np.uint64(1)
+    for i in range(n):
+        prefix[i] = acc
+        acc = mul(acc, a[i])
+    inv_acc = inverse(acc)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n - 1, -1, -1):
+        out[i] = mul(inv_acc, prefix[i])
+        inv_acc = mul(inv_acc, a[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quadratic extension F_p[X] / (X^2 - W) with W = 7 (plonky2 convention,
+# D = 2 in the reference: /root/reference/common/src/circuit.rs:10).
+# Elements are represented as (..., 2) uint64 arrays [c0, c1].
+# ---------------------------------------------------------------------------
+
+W_EXT = 7
+_W = np.uint64(W_EXT)
+# Frobenius constant: W^((p-1)/2) = -1 for non-residue; x^p = -x ... the
+# Frobenius map sends (c0, c1) -> (c0, c1 * DTH_ROOT) with
+# DTH_ROOT = W^((p-1)/2) mod p.
+DTH_ROOT = pow(W_EXT, (P - 1) // 2, P)
+
+
+def ext(c0, c1=0) -> np.ndarray:
+    c0 = _as_u64(c0)
+    c1 = np.broadcast_to(_as_u64(c1), c0.shape)
+    return np.stack([c0, c1], axis=-1)
+
+
+def ext_add(a, b) -> np.ndarray:
+    return np.stack(
+        [add(a[..., 0], b[..., 0]), add(a[..., 1], b[..., 1])], axis=-1
+    )
+
+
+def ext_sub(a, b) -> np.ndarray:
+    return np.stack(
+        [sub(a[..., 0], b[..., 0]), sub(a[..., 1], b[..., 1])], axis=-1
+    )
+
+
+def ext_mul(a, b) -> np.ndarray:
+    a0, a1 = a[..., 0], a[..., 1]
+    b0, b1 = b[..., 0], b[..., 1]
+    c0 = add(mul(a0, b0), mul(_W, mul(a1, b1)))
+    c1 = add(mul(a0, b1), mul(a1, b0))
+    return np.stack([c0, c1], axis=-1)
+
+
+def ext_scalar_mul(s, a) -> np.ndarray:
+    return np.stack([mul(s, a[..., 0]), mul(s, a[..., 1])], axis=-1)
+
+
+def ext_neg(a) -> np.ndarray:
+    return np.stack([neg(a[..., 0]), neg(a[..., 1])], axis=-1)
+
+
+def ext_inverse(a) -> np.ndarray:
+    """(c0 + c1 x)^-1 = (c0 - c1 x) / (c0^2 - W c1^2)."""
+    a0, a1 = a[..., 0], a[..., 1]
+    norm = sub(mul(a0, a0), mul(_W, mul(a1, a1)))
+    inv_norm = inverse(norm)
+    return np.stack([mul(a0, inv_norm), mul(neg(a1), inv_norm)], axis=-1)
+
+
+def ext_exp(a, e: int) -> np.ndarray:
+    result = ext(np.ones_like(a[..., 0]), np.zeros_like(a[..., 0]))
+    acc = a.copy()
+    while e > 0:
+        if e & 1:
+            result = ext_mul(result, acc)
+        acc = ext_mul(acc, acc)
+        e >>= 1
+    return result
