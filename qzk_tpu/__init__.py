@@ -3,10 +3,8 @@
 A from-scratch JAX/Pallas re-design of the capabilities of the Rust
 reference `qp-zk-circuits-rm` (Quantus wormhole + voting ZK circuits on
 plonky2).  The compute path (field arithmetic, Poseidon, NTT/LDE, FRI,
-quotient evaluation) is JAX/XLA/Pallas over 32-bit lanes; the circuit
-layer reproduces the plonky2 builder semantics used by the reference
-circuits; field/hash primitives are bit-exact against the reference's
-golden test vectors.
+quotient evaluation) is JAX/XLA/Pallas; the circuit layer reproduces the
+plonky2 builder semantics used by the reference circuits.
 
 Layout (maps to SURVEY.md §2 component inventory):
   ops/      — field, Poseidon, NTT, Merkle, FRI kernels (numpy reference
@@ -17,6 +15,27 @@ Layout (maps to SURVEY.md §2 component inventory):
               voting circuit (SURVEY.md §2a #5-#18)
   parallel/ — mesh/sharding utilities, sharded prove pipeline
   utils/    — byte<->felt codecs, serialization, profiling
+
+Field elements are uint64 end to end; importing the package enables
+jax_enable_x64 (XLA lowers 64-bit integer ops to 32-bit pairs on TPU;
+the hand-tuned Pallas kernels take explicit uint32 lane pairs instead).
+A persistent compilation cache is enabled because this host's XLA
+compiles are slow.
 """
+
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+_cache_dir = _os.environ.get(
+    "QZK_JAX_CACHE", _os.path.expanduser("~/.cache/qzk_jax_cache")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is best-effort
+    pass
 
 __version__ = "0.1.0"

@@ -1,0 +1,79 @@
+"""NTT/LDE: numpy oracle vs naive DFT, JAX vs numpy bit-exactness."""
+
+import numpy as np
+import pytest
+
+from qzk_tpu.ops import goldilocks as gl
+from qzk_tpu.ops import goldilocks_jax as gj
+from qzk_tpu.ops import ntt
+
+P = gl.P
+
+
+def naive_dft(coeffs):
+    n = len(coeffs)
+    w = ntt.root_of_unity(n.bit_length() - 1)
+    out = []
+    for j in range(n):
+        x = pow(w, j, P)
+        out.append(ntt.poly_eval_np(coeffs, x))
+    return np.array(out, dtype=np.uint64)
+
+
+class TestNumpyOracle:
+    @pytest.mark.parametrize("log_n", [0, 1, 2, 4, 6])
+    def test_matches_naive_dft(self, rng, log_n):
+        coeffs = rng.integers(0, P, 1 << log_n, dtype=np.uint64)
+        assert (ntt.ntt_np(coeffs) == naive_dft(coeffs)).all()
+
+    def test_intt_round_trip(self, rng):
+        coeffs = rng.integers(0, P, 64, dtype=np.uint64)
+        assert (ntt.intt_np(ntt.ntt_np(coeffs)) == coeffs).all()
+
+    def test_coset_lde_is_poly_eval_on_coset(self, rng):
+        coeffs = rng.integers(0, P, 8, dtype=np.uint64)
+        lde = ntt.coset_lde_np(coeffs, rate_bits=2)
+        w = ntt.root_of_unity(5)
+        for j in [0, 1, 7, 31]:
+            x = gl.GENERATOR * pow(w, j, P) % P
+            assert int(lde[j]) == ntt.poly_eval_np(coeffs, x)
+
+    def test_batched_last_axis(self, rng):
+        coeffs = rng.integers(0, P, (3, 32), dtype=np.uint64)
+        batched = ntt.ntt_np(coeffs)
+        for i in range(3):
+            assert (batched[i] == ntt.ntt_np(coeffs[i])).all()
+
+    def test_poly_eval_ext(self, rng):
+        coeffs = rng.integers(0, P, 10, dtype=np.uint64)
+        # extension point with zero imaginary part reduces to base eval
+        x = gl.ext(np.uint64(12345), np.uint64(0))
+        got = ntt.poly_eval_ext_np(coeffs, x)
+        assert int(got[..., 0]) == ntt.poly_eval_np(coeffs, 12345)
+        assert int(got[..., 1]) == 0
+
+
+class TestJaxBitExact:
+    @pytest.mark.parametrize("log_n", [1, 3, 6])
+    def test_ntt_matches_numpy(self, rng, log_n):
+        coeffs = rng.integers(0, P, 1 << log_n, dtype=np.uint64)
+        plan = ntt.get_plan(log_n)
+        got = gj.to_u64(plan.ntt(gj.from_u64(coeffs)))
+        assert (got == ntt.ntt_np(coeffs)).all()
+
+    def test_intt_matches_numpy(self, rng):
+        evals = rng.integers(0, P, 64, dtype=np.uint64)
+        plan = ntt.get_plan(6)
+        got = gj.to_u64(plan.intt(gj.from_u64(evals)))
+        assert (got == ntt.intt_np(evals)).all()
+
+    def test_batched_ntt(self, rng):
+        coeffs = rng.integers(0, P, (4, 32), dtype=np.uint64)
+        plan = ntt.get_plan(5)
+        got = gj.to_u64(plan.ntt(gj.from_u64(coeffs)))
+        assert (got == ntt.ntt_np(coeffs)).all()
+
+    def test_coset_lde_matches_numpy(self, rng):
+        coeffs = rng.integers(0, P, (2, 16), dtype=np.uint64)
+        got = gj.to_u64(ntt.coset_lde_jax(gj.from_u64(coeffs), 3))
+        assert (got == ntt.coset_lde_np(coeffs, 3)).all()
