@@ -56,17 +56,11 @@ def build_merkle_tree(leaves: np.ndarray, cap_height: int) -> MerkleTree:
         hashes = np.zeros((n, 4), dtype=np.uint64)
         hashes[:, :w] = leaves
     else:
-        hashes = np.stack([poseidon.hash_no_pad(row) for row in leaves])
+        hashes = poseidon.hash_no_pad_rows(leaves)
     levels = [hashes]
     while len(levels) - 1 < log_n - cap_height:
-        prev = levels[-1]
-        nxt = np.stack(
-            [
-                poseidon.two_to_one(prev[2 * i], prev[2 * i + 1])
-                for i in range(prev.shape[0] // 2)
-            ]
-        )
-        levels.append(nxt)
+        pairs = levels[-1].reshape(-1, 8)
+        levels.append(poseidon.hash_no_pad_rows(pairs))
     return MerkleTree(leaves=leaves, levels=levels, cap_height=cap_height)
 
 

@@ -60,28 +60,49 @@ def _sbox(x: np.ndarray) -> np.ndarray:
 def _mds(state: np.ndarray) -> np.ndarray:
     """Apply the MDS matrix to state[..., 12].
 
-    Entries are tiny (<= 41), so each output lane is a sum of 12
-    small-constant multiples; we accumulate the exact 128-bit sum as
-    (lo, hi) pairs and reduce once.
+    Entries are tiny (<= 49): split lanes into 32-bit halves so every
+    partial product (<= 2^38) and every 12-term accumulation (< 2^42)
+    stays exact in uint64, then do one 128-bit reduction per lane.
     """
-    lo_acc = np.zeros(state.shape, dtype=np.uint64)[..., :1].repeat(WIDTH, -1)
-    hi_acc = np.zeros_like(lo_acc)
     with np.errstate(over="ignore"):
-        for c in range(WIDTH):
-            col = state[..., c : c + 1]  # (..., 1)
-            coeffs = MDS_MATRIX[:, c]  # (12,)
-            lo, hi = gl._mul_64_64(col, coeffs)
-            new_lo = lo_acc + lo
-            carry = new_lo < lo_acc
-            lo_acc = new_lo
-            hi_acc = hi_acc + hi + carry.astype(np.uint64)
-    return gl.reduce128(lo_acc, hi_acc)
+        s_lo = (state & gl._U32)[..., None, :]  # (..., 1, 12)
+        s_hi = (state >> gl._32)[..., None, :]
+        lo_sum = np.sum(s_lo * MDS_MATRIX, axis=-1)  # (..., 12), < 2^42
+        hi_sum = np.sum(s_hi * MDS_MATRIX, axis=-1)
+        lo64 = lo_sum + (hi_sum << gl._32)
+        carry = (lo64 < lo_sum).astype(np.uint64)
+        hi64 = (hi_sum >> gl._32) + carry
+    return gl.reduce128(lo64, hi64)
+
+
+_MDS_INT = [[int(MDS_MATRIX[r][c]) for c in range(WIDTH)] for r in range(WIDTH)]
+_RC_INT = [[int(x) for x in row] for row in _RC]
+
+
+def _permute_scalar(state: np.ndarray) -> np.ndarray:
+    """Single-state permutation via python ints — much faster than numpy
+    per-element dispatch for the sequential transcript/Merkle-path uses."""
+    P = gl.P
+    s = [int(x) for x in state]
+    for r in range(N_ROUNDS):
+        rc = _RC_INT[r]
+        s = [(x + c) % P for x, c in zip(s, rc)]
+        if HALF_FULL <= r < HALF_FULL + N_PARTIAL_ROUNDS:
+            s[0] = pow(s[0], 7, P)
+        else:
+            s = [pow(x, 7, P) for x in s]
+        s = [
+            sum(m * x for m, x in zip(row, s)) % P for row in _MDS_INT
+        ]
+    return np.array(s, dtype=np.uint64)
 
 
 def permute(state: np.ndarray) -> np.ndarray:
     """Poseidon permutation on state[..., 12] (canonical u64)."""
     state = np.asarray(state, dtype=np.uint64)
     assert state.shape[-1] == WIDTH
+    if state.ndim == 1:
+        return _permute_scalar(state)
     round_ctr = 0
     # First half of full rounds.
     for _ in range(HALF_FULL):
@@ -110,17 +131,11 @@ def hash_n_to_m_no_pad(inputs: np.ndarray, num_outputs: int) -> np.ndarray:
     """Overwrite-mode sponge, rate 8, capacity 4 (hash_n_to_m_no_pad)."""
     inputs = np.asarray(inputs, dtype=np.uint64).ravel()
     state = np.zeros(WIDTH, dtype=np.uint64)
-    for start in range(0, max(len(inputs), 1), RATE):
+    # Empty input absorbs nothing (no permutation) — squeeze the zero state.
+    for start in range(0, len(inputs), RATE):
         chunk = inputs[start : start + RATE]
-        if len(chunk) == 0 and len(inputs) > 0:
-            break
         state[: len(chunk)] = chunk
         state = permute(state)
-    if len(inputs) == 0:
-        # Zero-length input: plonky2 absorbs nothing and squeezes the
-        # initial state permuted zero times -> squeeze loop permutes on
-        # demand.  hash_no_pad([]) returns state[:4] of all-zero state.
-        pass
     outputs = []
     while True:
         for i in range(RATE):
@@ -133,6 +148,18 @@ def hash_n_to_m_no_pad(inputs: np.ndarray, num_outputs: int) -> np.ndarray:
 def hash_no_pad(inputs) -> np.ndarray:
     """PoseidonHash::hash_no_pad — 4-felt digest."""
     return hash_n_to_m_no_pad(inputs, 4)
+
+
+def hash_no_pad_rows(inputs: np.ndarray) -> np.ndarray:
+    """Batched hash_no_pad over rows: (n, w) -> (n, 4)."""
+    inputs = np.asarray(inputs, dtype=np.uint64)
+    n, w = inputs.shape
+    state = np.zeros((n, WIDTH), dtype=np.uint64)
+    for start in range(0, w, RATE):
+        chunk = inputs[:, start : start + RATE]
+        state[:, : chunk.shape[1]] = chunk
+        state = permute(state)
+    return state[:, :CAP]
 
 
 def hash_or_noop(inputs) -> np.ndarray:

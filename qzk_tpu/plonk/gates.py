@@ -1,0 +1,386 @@
+"""Gate set for the TPU-native PLONK engine.
+
+Semantic parity with the plonky2 gate surface the reference circuits use
+(SURVEY.md §2b row 5: arithmetic, Poseidon, range-check / split_le via
+bit decomposition, constants, public-input registration), re-designed
+for vectorized evaluation: every gate's constraints are written once
+against a tiny algebra abstraction and evaluated either
+
+  * on the whole LDE coset at once (base field, numpy vectors — the
+    prover's quotient computation), or
+  * at the single challenge point zeta (quadratic extension — the
+    verifier), or
+  * on device (jnp arrays) for the sharded prover.
+
+Gate selectors are boolean per-type columns; constraint degrees
+(including the selector factor) stay <= max_quotient_degree_factor = 8.
+
+Wire layouts:
+  ArithmeticGate  : 20 ops x (m0, m1, addend, out); out = c0*m0*m1 + c1*addend
+  PoseidonGate    : 135 wires — 12 in, 12 out, swap, 4 deltas, 36 + 22 + 48
+                    stored sbox inputs (degree-7 round constraints)
+  BitDecompGate(b): ops x (value, b bits); value = sum b_i 2^i, bits boolean
+  ConstantGate    : wires 0..2 pinned to the row's constant column values
+  PublicInputGate : wires 0..4 pinned to H(public_inputs)
+  NoopGate        : padding
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import poseidon as pos
+
+# ---------------------------------------------------------------------------
+# Evaluation algebras
+# ---------------------------------------------------------------------------
+
+
+class BaseAlgebra:
+    """Base-field vectors (coset evaluation). Elements: uint64 ndarrays
+    broadcastable against each other."""
+
+    def const(self, v: int):
+        return np.uint64(v % gl.P)
+
+    add = staticmethod(gl.add)
+    sub = staticmethod(gl.sub)
+    mul = staticmethod(gl.mul)
+
+    def zero(self):
+        return np.uint64(0)
+
+    def one(self):
+        return np.uint64(1)
+
+
+class ExtAlgebra:
+    """Quadratic-extension scalars (opening evaluation). Elements:
+    (..., 2) uint64 ndarrays."""
+
+    def const(self, v: int):
+        return np.array([v % gl.P, 0], dtype=np.uint64)
+
+    add = staticmethod(gl.ext_add)
+    sub = staticmethod(gl.ext_sub)
+    mul = staticmethod(gl.ext_mul)
+
+    def zero(self):
+        return np.zeros(2, dtype=np.uint64)
+
+    def one(self):
+        return np.array([1, 0], dtype=np.uint64)
+
+
+class JaxAlgebra:
+    """Device base-field vectors (jnp uint64) for the jitted coset
+    evaluation path."""
+
+    def __init__(self):
+        from ..ops import goldilocks_jax as gj
+
+        self._gj = gj
+
+    def const(self, v: int):
+        import jax.numpy as jnp
+
+        return jnp.uint64(v % gl.P)
+
+    def add(self, a, b):
+        return self._gj.add(a, b)
+
+    def sub(self, a, b):
+        return self._gj.sub(a, b)
+
+    def mul(self, a, b):
+        return self._gj.mul(a, b)
+
+    def zero(self):
+        import jax.numpy as jnp
+
+        return jnp.uint64(0)
+
+    def one(self):
+        import jax.numpy as jnp
+
+        return jnp.uint64(1)
+
+
+def _x7(alg, x):
+    x2 = alg.mul(x, x)
+    x3 = alg.mul(x2, x)
+    x4 = alg.mul(x2, x2)
+    return alg.mul(x4, x3)
+
+
+# ---------------------------------------------------------------------------
+# Gates
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Gate:
+    """Base gate descriptor.  Subclasses define wire layout constants and
+    `eval_constraints(alg, wires, consts, pi_hash) -> list`."""
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        raise NotImplementedError
+
+    @property
+    def gid(self) -> str:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class ArithmeticGate(Gate):
+    num_ops: int = 20
+
+    @property
+    def gid(self):
+        return f"arithmetic<{self.num_ops}>"
+
+    def wires_op(self, i: int):
+        return (4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3)
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        c0, c1 = consts[0], consts[1]
+        out = []
+        for i in range(self.num_ops):
+            m0, m1, a, o = (wires[w] for w in self.wires_op(i))
+            computed = alg.add(alg.mul(c0, alg.mul(m0, m1)), alg.mul(c1, a))
+            out.append(alg.sub(computed, o))
+        return out
+
+
+@dataclass(frozen=True)
+class PoseidonGate(Gate):
+    """One full Poseidon permutation per row (width 12), with merkle-path
+    swap support.  135 wires exactly."""
+
+    WIDTH = 12
+
+    @property
+    def gid(self):
+        return "poseidon<12>"
+
+    # -- wire layout --------------------------------------------------------
+    def wire_in(self, i):
+        return i
+
+    def wire_out(self, i):
+        return 12 + i
+
+    WIRE_SWAP = 24
+
+    def wire_delta(self, i):
+        return 25 + i  # i in 0..4
+
+    def wire_full0(self, r, i):
+        # first-half full rounds 1..3 store their sbox inputs
+        assert 1 <= r < 4
+        return 29 + (r - 1) * 12 + i
+
+    def wire_partial(self, pr):
+        assert 0 <= pr < pos.N_PARTIAL_ROUNDS
+        return 65 + pr
+
+    def wire_full1(self, r, i):
+        assert 0 <= r < 4
+        return 87 + r * 12 + i
+
+    NUM_WIRES = 135
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        W = self.WIDTH
+        RC = pos._RC  # (30, 12) uint64
+        MDS = pos.MDS_MATRIX  # (12, 12) small ints
+
+        def mds(state):
+            out = []
+            for r in range(W):
+                acc = alg.zero()
+                for c in range(W):
+                    acc = alg.add(
+                        acc, alg.mul(alg.const(int(MDS[r][c])), state[c])
+                    )
+                out.append(acc)
+            return out
+
+        cons = []
+        swap = wires[self.WIRE_SWAP]
+        # swap is boolean
+        cons.append(alg.sub(alg.mul(swap, swap), swap))
+        # delta_i = swap * (in[i+4] - in[i])
+        deltas = [wires[self.wire_delta(i)] for i in range(4)]
+        for i in range(4):
+            want = alg.mul(
+                swap, alg.sub(wires[self.wire_in(i + 4)], wires[self.wire_in(i)])
+            )
+            cons.append(alg.sub(deltas[i], want))
+        # initial state with swap applied
+        state = []
+        for i in range(4):
+            state.append(alg.add(wires[self.wire_in(i)], deltas[i]))
+        for i in range(4):
+            state.append(alg.sub(wires[self.wire_in(i + 4)], deltas[i]))
+        for i in range(8, W):
+            state.append(wires[self.wire_in(i)])
+
+        rc = lambda r: [alg.const(int(RC[r][i])) for i in range(W)]
+
+        # round 0 (full): sbox inputs are linear — not stored
+        pre = [alg.add(state[i], rc(0)[i]) for i in range(W)]
+        state = mds([_x7(alg, x) for x in pre])
+        # full rounds 1..3: stored sbox inputs
+        for r in range(1, 4):
+            pre = [alg.add(state[i], rc(r)[i]) for i in range(W)]
+            stored = [wires[self.wire_full0(r, i)] for i in range(W)]
+            cons.extend(alg.sub(stored[i], pre[i]) for i in range(W))
+            state = mds([_x7(alg, x) for x in stored])
+        # partial rounds: store lane-0 sbox input only
+        for pr in range(pos.N_PARTIAL_ROUNDS):
+            r = 4 + pr
+            pre = [alg.add(state[i], rc(r)[i]) for i in range(W)]
+            stored = wires[self.wire_partial(pr)]
+            cons.append(alg.sub(stored, pre[0]))
+            state = mds([_x7(alg, stored)] + pre[1:])
+        # second-half full rounds: all stored
+        for r in range(4):
+            rr = 4 + pos.N_PARTIAL_ROUNDS + r
+            pre = [alg.add(state[i], rc(rr)[i]) for i in range(W)]
+            stored = [wires[self.wire_full1(r, i)] for i in range(W)]
+            cons.extend(alg.sub(stored[i], pre[i]) for i in range(W))
+            state = mds([_x7(alg, x) for x in stored])
+        # outputs
+        cons.extend(
+            alg.sub(wires[self.wire_out(i)], state[i]) for i in range(W)
+        )
+        return cons
+
+
+@dataclass(frozen=True)
+class BitDecompGate(Gate):
+    """num_ops independent decompositions of a value into `bits` bits
+    (little-endian).  Implements range_check / split_le semantics
+    (reference call sites: nullifier.rs:231-233, storage_proof/mod.rs:199,
+    gadgets.rs:20 via split_le)."""
+
+    bits: int
+    num_ops: int
+
+    @property
+    def gid(self):
+        return f"bit_decomp<{self.bits},{self.num_ops}>"
+
+    def wires_op(self, i: int):
+        base = i * (self.bits + 1)
+        return base, [base + 1 + b for b in range(self.bits)]
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        cons = []
+        for i in range(self.num_ops):
+            v_w, bit_ws = self.wires_op(i)
+            v = wires[v_w]
+            acc = alg.zero()
+            for b in reversed(range(self.bits)):
+                bit = wires[bit_ws[b]]
+                cons.append(alg.sub(alg.mul(bit, bit), bit))
+                acc = alg.add(alg.add(acc, acc), bit)
+            cons.append(alg.sub(acc, v))
+        return cons
+
+
+@dataclass(frozen=True)
+class ConstantGate(Gate):
+    num_consts: int = 2
+
+    @property
+    def gid(self):
+        return f"constant<{self.num_consts}>"
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        return [
+            alg.sub(wires[i], consts[i]) for i in range(self.num_consts)
+        ]
+
+
+@dataclass(frozen=True)
+class PublicInputGate(Gate):
+    @property
+    def gid(self):
+        return "public_input"
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        return [alg.sub(wires[i], pi_hash[i]) for i in range(4)]
+
+
+@dataclass(frozen=True)
+class NoopGate(Gate):
+    @property
+    def gid(self):
+        return "noop"
+
+    def eval_constraints(self, alg, wires, consts, pi_hash):
+        return []
+
+
+# ---------------------------------------------------------------------------
+# Witness-side Poseidon trace (fills the gate's internal wires)
+# ---------------------------------------------------------------------------
+
+
+def poseidon_trace(inputs: np.ndarray, swap: np.ndarray):
+    """Compute all stored-wire values for PoseidonGate rows.
+
+    inputs: (B, 12) uint64; swap: (B,) uint64 in {0,1}.
+    Returns (wire_values: dict wire_index -> (B,) uint64, outputs (B, 12)).
+    Mirrors eval_constraints exactly (any mismatch fails proving).
+    """
+    g = PoseidonGate()
+    B = inputs.shape[0]
+    values: dict[int, np.ndarray] = {}
+    deltas = []
+    for i in range(4):
+        d = gl.mul(swap, gl.sub(inputs[:, i + 4], inputs[:, i]))
+        values[g.wire_delta(i)] = d
+        deltas.append(d)
+    state = inputs.copy().T  # (12, B)
+    for i in range(4):
+        state[i] = gl.add(state[i], deltas[i])
+        state[i + 4] = gl.sub(state[i + 4], deltas[i])
+
+    RC = pos._RC
+
+    def mds(st):
+        return pos._mds(st.T).T
+
+    def x7(x):
+        x2 = gl.mul(x, x)
+        x3 = gl.mul(x2, x)
+        return gl.mul(gl.mul(x2, x2), x3)
+
+    # round 0
+    pre = gl.add(state, RC[0][:, None])
+    state = mds(x7(pre))
+    for r in range(1, 4):
+        pre = gl.add(state, RC[r][:, None])
+        for i in range(12):
+            values[g.wire_full0(r, i)] = pre[i]
+        state = mds(x7(pre))
+    for pr in range(pos.N_PARTIAL_ROUNDS):
+        r = 4 + pr
+        pre = gl.add(state, RC[r][:, None])
+        values[g.wire_partial(pr)] = pre[0]
+        sb = pre.copy()
+        sb[0] = x7(pre[0])
+        state = mds(sb)
+    for r in range(4):
+        rr = 4 + pos.N_PARTIAL_ROUNDS + r
+        pre = gl.add(state, RC[rr][:, None])
+        for i in range(12):
+            values[g.wire_full1(r, i)] = pre[i]
+        state = mds(x7(pre))
+    return values, state.T  # outputs (B, 12)

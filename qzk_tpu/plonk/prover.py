@@ -1,0 +1,381 @@
+"""The prove pipeline (reference analog: ProverCircuitData::prove,
+SURVEY.md §3.1 steps 1-5):
+
+  1. run witness generators (levelized batches) -> wire matrix
+  2. wire polys -> coset LDE -> Merkle-cap commit          } device NTT +
+  3. permutation Zs + partial products -> LDE -> commit    } batched
+  4. quotient: evaluate all constraints on the LDE coset,  } Poseidon
+     divide by Z_H, split, commit                          }
+  5. openings at zeta / g*zeta + batched FRI opening proof
+
+Steps 2-4's heavy kernels (NTT, Merkle hashing) run through the device
+modules (ops/ntt.py, ops/merkle.py); orchestration and FRI are host-side
+numpy this round.
+
+Transcript spec (normative):
+  observe circuit digest, observe H(public_inputs);
+  observe wires cap -> betas[2], gammas[2];
+  observe zs/partial cap -> alphas[2];
+  observe quotient cap -> zeta (ext);
+  observe openings (preprocessed, wires, zs_partial, quotient,
+  zs_partial@g*zeta) -> fri alpha (ext); then FRI (fri.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import merkle as mk
+from ..ops import ntt as ntt_mod
+from ..ops import poseidon as pos
+from ..ops.transcript import Challenger
+from . import fri as fri_mod
+from .gates import BaseAlgebra
+from .proof import Openings, Proof, ProofWithPublicInputs
+from .vanishing import eval_vanishing
+from .witness import run_generators
+
+USE_DEVICE = os.environ.get("QZK_HOST_ONLY") != "1"
+
+
+def _prefix_prod_exclusive(a: np.ndarray) -> np.ndarray:
+    """Exclusive modular prefix product along axis 0 (Hillis-Steele)."""
+    n = a.shape[0]
+    res = a.copy()
+    k = 1
+    while k < n:
+        prev = res.copy()
+        res[k:] = gl.mul(prev[k:], prev[:-k])
+        k *= 2
+    out = np.empty_like(res)
+    out[0] = np.uint64(1)
+    out[1:] = res[:-1]
+    return out
+
+
+def _lde_rows(values: np.ndarray, rate_bits: int) -> np.ndarray:
+    """(S, N) subgroup values -> (S, N<<rate) coset LDE (+ coeffs)."""
+    coeffs = ntt_mod.intt_np(values)
+    return coeffs, ntt_mod.coset_lde_np(coeffs, rate_bits)
+
+
+def _lde_rows_device(values: np.ndarray, rate_bits: int):
+    from ..ops import goldilocks_jax as gj
+    from ..parallel import kernels
+
+    coeffs, lde = kernels.intt_lde_rows(gj.from_u64(values), rate_bits)
+    return gj.to_u64(coeffs), gj.to_u64(lde)
+
+
+def _commit_rows(lde: np.ndarray, cap_height: int, salt: np.ndarray | None):
+    """Merkle-commit the transposed LDE (leaves = per-point rows)."""
+    leaves = np.ascontiguousarray(lde.T)
+    if salt is not None:
+        leaves = np.concatenate([leaves, salt], axis=1)
+    if USE_DEVICE and leaves.shape[0] >= 1 << 10:
+        from ..ops import goldilocks_jax as gj
+
+        levels = mk.build_merkle_levels_jax(gj.from_u64(leaves), cap_height)
+        return mk.tree_from_device_levels(leaves, levels, cap_height)
+    return mk.build_merkle_tree(leaves, cap_height)
+
+
+def _eval_polys_ext(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Horner-evaluate base polys (S, N) at extension point z -> (S, 2)."""
+    S, N = coeffs.shape
+    acc = np.zeros((S, 2), dtype=np.uint64)
+    for i in range(N - 1, -1, -1):
+        acc = gl.ext_mul(acc, np.broadcast_to(z, (S, 2)))
+        acc[:, 0] = gl.add(acc[:, 0], coeffs[:, i])
+    return acc
+
+
+def prove(common, prover_only, pw) -> ProofWithPublicInputs:
+    cfg = common.config
+    fri_cfg = cfg.fri_config
+    N = common.degree
+    lde_size = common.lde_size
+    rate_bits = fri_cfg.rate_bits
+    num_routed = cfg.num_routed_wires
+
+    # 1. witness generation -------------------------------------------------
+    values, known = run_generators(prover_only.plan, pw)
+    public_inputs = values[
+        prover_only.plan.roots[
+            np.asarray(prover_only.public_inputs, dtype=np.int64)
+        ]
+    ] if prover_only.public_inputs else np.zeros(0, dtype=np.uint64)
+    pi_hash = pos.hash_no_pad(public_inputs)
+
+    wire_matrix = np.zeros((N, cfg.num_wires), dtype=np.uint64)
+    wire_matrix[prover_only.slot_rows, prover_only.slot_cols] = values[
+        prover_only.slot_targets
+    ]
+
+    rng = None
+    if cfg.zero_knowledge:
+        # deterministic blinding seed from the witness (the reference pins
+        # `no_random` for reproducible proving — SURVEY.md §2b)
+        seed = int.from_bytes(
+            pos.hash_no_pad(values[: min(len(values), 1024)])
+            .astype("<u8")
+            .tobytes()[:8],
+            "little",
+        )
+        rng = np.random.Generator(np.random.Philox(seed))
+        n_used = len(prover_only.rows)
+        # blind unconstrained padding rows
+        free = wire_matrix[n_used:]
+        if free.size:
+            wire_matrix[n_used:] = rng.integers(
+                0, gl.P, size=free.shape, dtype=np.uint64
+            )
+
+    def fresh_salt(n_leaves):
+        if not cfg.zero_knowledge:
+            return None
+        return rng.integers(0, gl.P, size=(n_leaves, 4), dtype=np.uint64)
+
+    # 2. commit wires -------------------------------------------------------
+    wires_values = np.ascontiguousarray(wire_matrix.T)  # (135, N)
+    if USE_DEVICE and N >= 1 << 10:
+        wires_coeffs, wires_lde = _lde_rows_device(wires_values, rate_bits)
+    else:
+        wires_coeffs, wires_lde = _lde_rows(wires_values, rate_bits)
+    wires_tree = _commit_rows(
+        wires_lde, fri_cfg.cap_height, fresh_salt(lde_size)
+    )
+
+    challenger = Challenger()
+    challenger.observe_elements(common.circuit_digest)
+    challenger.observe_elements(pi_hash)
+    challenger.observe_cap(wires_tree.cap)
+    betas = challenger.get_n_challenges(cfg.num_challenges)
+    gammas = challenger.get_n_challenges(cfg.num_challenges)
+
+    # 3. permutation argument ----------------------------------------------
+    w_routed = wire_matrix[:, :num_routed]  # (N, 80)
+    g_pows = ntt_mod.powers(common.subgroup_generator(), N)
+    id_enc = gl.mul(g_pows[:, None], common.k_is[None, :])  # (N, 80)
+    sigma_enc = prover_only.sigma_encodings.T  # (N, 80)
+
+    zs_pp_values = np.zeros(
+        (common.num_zs_partial_products_polys, N), dtype=np.uint64
+    )
+    chunk = common.chunk_size
+    n_chunks = common.num_chunks
+    for c in range(cfg.num_challenges):
+        beta = np.uint64(betas[c])
+        gamma = np.uint64(gammas[c])
+        nums = gl.add(gl.add(w_routed, gl.mul(beta, id_enc)), gamma)
+        dens = gl.add(gl.add(w_routed, gl.mul(beta, sigma_enc)), gamma)
+        dens_inv = gl.exp(dens, gl.P - 2)
+        ratios = gl.mul(nums, dens_inv)  # (N, 80)
+        chunk_ratio = np.ones((N, n_chunks), dtype=np.uint64)
+        for k in range(n_chunks):
+            lo, hi = k * chunk, min((k + 1) * chunk, num_routed)
+            acc = ratios[:, lo]
+            for j in range(lo + 1, hi):
+                acc = gl.mul(acc, ratios[:, j])
+            chunk_ratio[:, k] = acc
+        row_ratio = chunk_ratio[:, 0]
+        for k in range(1, n_chunks):
+            row_ratio = gl.mul(row_ratio, chunk_ratio[:, k])
+        z = _prefix_prod_exclusive(row_ratio)
+        base = c * (1 + common.num_partial_products)
+        zs_pp_values[base] = z
+        cum = z.copy()
+        for k in range(common.num_partial_products):
+            cum = gl.mul(cum, chunk_ratio[:, k])
+            zs_pp_values[base + 1 + k] = cum
+
+    zs_coeffs, zs_lde = (
+        _lde_rows_device(zs_pp_values, rate_bits)
+        if USE_DEVICE and N >= 1 << 10
+        else _lde_rows(zs_pp_values, rate_bits)
+    )
+    zs_tree = _commit_rows(zs_lde, fri_cfg.cap_height, fresh_salt(lde_size))
+    challenger.observe_cap(zs_tree.cap)
+    alphas = challenger.get_n_challenges(cfg.num_challenges)
+
+    # 4. quotient -----------------------------------------------------------
+    pre_lde = prover_only.preprocessed_lde
+    n_sel = common.num_selectors
+    n_const = cfg.num_constants
+    coset_points = gl.mul(
+        np.uint64(gl.GENERATOR),
+        ntt_mod.powers(ntt_mod.root_of_unity(common.lde_bits), lde_size),
+    )
+    # Z_H(x) = x^N - 1 on the coset: period `rate` values
+    z_h = gl.sub(
+        gl.exp(coset_points[: 1 << rate_bits], N), np.uint64(1)
+    )
+    z_h_full = np.tile(z_h, lde_size >> rate_bits)
+    z_h_inv_full = np.tile(gl.inverse(z_h), lde_size >> rate_bits)
+    # L1(x) = (x^N - 1) / (N (x - 1))
+    l1 = gl.mul(
+        z_h_full,
+        gl.inverse(
+            gl.mul(np.uint64(N), gl.sub(coset_points, np.uint64(1)))
+        ),
+    )
+
+    alg = BaseAlgebra()
+    zs_right = []
+    zs_at = []
+    partials_at = []
+    rate = 1 << rate_bits
+    for c in range(cfg.num_challenges):
+        base = c * (1 + common.num_partial_products)
+        zs_at.append(zs_lde[base])
+        zs_right.append(np.roll(zs_lde[base], -rate))
+        partials_at.append(
+            [zs_lde[base + 1 + k] for k in range(common.num_partial_products)]
+        )
+
+    vanishing = eval_vanishing(
+        common,
+        alg,
+        coset_points,
+        wires_lde,
+        pre_lde[:n_sel],
+        pre_lde[n_sel : n_sel + n_const],
+        pre_lde[n_sel + n_const :],
+        zs_at,
+        zs_right,
+        partials_at,
+        [np.uint64(h) for h in pi_hash],
+        betas,
+        gammas,
+        alphas,
+        l1,
+    )
+
+    quotient_values = np.zeros(
+        (common.num_quotient_polys, N), dtype=np.uint64
+    )
+    shift_inv_pows = ntt_mod.powers(
+        pow(gl.GENERATOR, gl.P - 2, gl.P), lde_size
+    )
+    for c in range(cfg.num_challenges):
+        qv = gl.mul(vanishing[c], z_h_inv_full)  # (8N,)
+        q_coeffs = gl.mul(ntt_mod.intt_np(qv), shift_inv_pows)
+        deg_cap = cfg.max_quotient_degree_factor * N
+        if not (q_coeffs[deg_cap - N :] == 0).all():
+            # tail must vanish for a satisfied circuit
+            raise ValueError(
+                "constraints unsatisfied: quotient degree overflow "
+                "(witness does not satisfy the circuit)"
+            )
+        for t in range(cfg.max_quotient_degree_factor):
+            quotient_values[c * cfg.max_quotient_degree_factor + t] = (
+                q_coeffs[t * N : (t + 1) * N]
+            )
+
+    # quotient_values currently hold *coefficients*; LDE them directly
+    quotient_coeffs = quotient_values
+    quotient_lde = ntt_mod.coset_lde_np(quotient_coeffs, rate_bits)
+    quotient_tree = _commit_rows(
+        quotient_lde, fri_cfg.cap_height, fresh_salt(lde_size)
+    )
+    challenger.observe_cap(quotient_tree.cap)
+    zeta = challenger.get_extension_challenge()
+
+    # 5. openings -----------------------------------------------------------
+    pre_coeffs = ntt_mod.intt_np(prover_only.preprocessed_values)
+    g = np.uint64(common.subgroup_generator())
+    zeta_right = gl.ext_mul(zeta, gl.ext(g, np.uint64(0)))
+
+    openings = Openings(
+        preprocessed=_eval_polys_ext(pre_coeffs, zeta),
+        wires=_eval_polys_ext(wires_coeffs, zeta),
+        zs_partial=_eval_polys_ext(zs_coeffs, zeta),
+        quotient=_eval_polys_ext(quotient_coeffs, zeta),
+        zs_partial_right=_eval_polys_ext(zs_coeffs, zeta_right),
+    )
+    for tag, vals in openings.batches():
+        challenger.observe_elements(vals.ravel())
+    fri_alpha = challenger.get_extension_challenge()
+
+    # FRI input polynomial G on the LDE coset (extension values)
+    all_lde = np.concatenate(
+        [pre_lde, wires_lde, zs_lde, quotient_lde], axis=0
+    )  # (S_total, 8N)
+    zeta_batch_claims = np.concatenate(
+        [
+            openings.preprocessed,
+            openings.wires,
+            openings.zs_partial,
+            openings.quotient,
+        ]
+    )
+    G = _fri_input_poly(
+        all_lde, zeta_batch_claims, zeta, fri_alpha, coset_points
+    )
+    G2 = _fri_input_poly(
+        zs_lde,
+        openings.zs_partial_right,
+        zeta_right,
+        fri_alpha,
+        coset_points,
+    )
+    G = gl.ext_add(G, G2)
+
+    commitment = fri_mod.fri_commit(
+        G, common.degree_bits, common, challenger
+    )
+    oracles = [
+        prover_only.preprocessed_tree,
+        wires_tree,
+        zs_tree,
+        quotient_tree,
+    ]
+    query_rounds = fri_mod.fri_query_rounds(
+        oracles, commitment, common.degree_bits, common, challenger
+    )
+
+    proof = Proof(
+        wires_cap=wires_tree.cap,
+        zs_partial_cap=zs_tree.cap,
+        quotient_cap=quotient_tree.cap,
+        openings=openings,
+        fri=fri_mod.FriProof(
+            commit_phase_caps=[t.cap for t in commitment.layer_trees],
+            final_poly=commitment.final_poly,
+            pow_witness=commitment.pow_witness,
+            query_rounds=query_rounds,
+        ),
+    )
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+
+def _fri_input_poly(
+    lde_rows: np.ndarray,
+    claims: np.ndarray,
+    z: np.ndarray,
+    alpha: np.ndarray,
+    coset_points: np.ndarray,
+) -> np.ndarray:
+    """(sum_i alpha^i f_i(x) - sum_i alpha^i y_i) / (x - z) over the coset.
+
+    Alpha powers restart at alpha^0 for each batch (normative)."""
+    S, M = lde_rows.shape
+    # combined values: Horner over rows (S steps, vectorized over M)
+    comb = np.zeros((M, 2), dtype=np.uint64)
+    for i in range(S - 1, -1, -1):
+        comb = gl.ext_mul(comb, np.broadcast_to(alpha, (M, 2)))
+        comb[:, 0] = gl.add(comb[:, 0], lde_rows[i])
+    reduced_claim = np.zeros(2, dtype=np.uint64)
+    for i in range(S - 1, -1, -1):
+        reduced_claim = gl.ext_mul(reduced_claim, alpha)
+        reduced_claim = gl.ext_add(reduced_claim, claims[i])
+    num = gl.ext_sub(comb, np.broadcast_to(reduced_claim, (M, 2)))
+    den = np.stack(
+        [gl.sub(coset_points, np.broadcast_to(z[0], (M,))),
+         np.broadcast_to(gl.neg(z[1]), (M,)).copy()],
+        axis=-1,
+    )
+    return gl.ext_mul(num, fri_mod.ext_inverse_vec(den))

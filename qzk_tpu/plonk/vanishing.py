@@ -1,0 +1,87 @@
+"""Vanishing-polynomial evaluation — the single implementation of the
+PLONK constraint system, instantiated twice:
+
+  * prover: BaseAlgebra over full LDE-coset vectors (the quotient
+    computation — the FLOP-heavy part of proving, SURVEY.md §3.1 step 4)
+  * verifier: ExtAlgebra at the single opening point zeta
+
+Term order (normative for the alpha combination):
+  1. per gate type (CommonCircuitData.gates order), per constraint:
+     selector_g(x) * C_{g,i}(x)
+  2. per permutation chunk k: rho_{k+1} * prod(den_k) - rho_k * prod(num_k)
+     where rho_0 = Z, rho_{last} = Z(g x), intermediate rho are the
+     partial-product columns
+  3. L1(x) * (Z(x) - 1)
+Each challenge c in 0..num_challenges combines the same term list with
+its own alpha_c (and its own Z/partials/beta/gamma in group 2-3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def eval_vanishing(
+    common,
+    alg,
+    x,
+    wires,  # indexable: wires[j] -> element
+    selectors,  # selectors[s] -> element
+    constants,  # constants[c] -> element
+    sigmas,  # sigmas[j] -> element
+    zs,  # zs[c] -> element (Z_c at x)
+    zs_right,  # zs_right[c] -> element (Z_c at g*x)
+    partials,  # partials[c][k] -> element
+    pi_hash,  # 4 elements
+    betas,  # list of ints / field scalars per challenge
+    gammas,
+    alphas,
+    l1,  # element: L1(x)
+):
+    """Returns [combined_c for c in range(num_challenges)] (NOT divided
+    by Z_H)."""
+    cfg = common.config
+    gate_terms = []
+    for s, gate in enumerate(common.gates):
+        sel = selectors[s]
+        for c in gate.eval_constraints(alg, wires, constants, pi_hash):
+            gate_terms.append(alg.mul(sel, c))
+
+    out = []
+    num_routed = cfg.num_routed_wires
+    chunk = common.chunk_size
+    for c in range(cfg.num_challenges):
+        beta = alg.const(int(betas[c]))
+        gamma = alg.const(int(gammas[c]))
+        nums = []
+        dens = []
+        for j in range(num_routed):
+            kx = alg.mul(alg.const(int(common.k_is[j])), x)
+            nums.append(alg.add(alg.add(wires[j], alg.mul(beta, kx)), gamma))
+            dens.append(
+                alg.add(alg.add(wires[j], alg.mul(beta, sigmas[j])), gamma)
+            )
+        terms = list(gate_terms)
+        rhos = [zs[c]] + list(partials[c]) + [zs_right[c]]
+        for k in range(common.num_chunks):
+            lo = k * chunk
+            hi = min(lo + chunk, num_routed)
+            num_prod = nums[lo]
+            den_prod = dens[lo]
+            for j in range(lo + 1, hi):
+                num_prod = alg.mul(num_prod, nums[j])
+                den_prod = alg.mul(den_prod, dens[j])
+            terms.append(
+                alg.sub(
+                    alg.mul(rhos[k + 1], den_prod),
+                    alg.mul(rhos[k], num_prod),
+                )
+            )
+        terms.append(alg.mul(l1, alg.sub(zs[c], alg.one())))
+
+        alpha = alg.const(int(alphas[c]))
+        acc = alg.zero()
+        for t in reversed(terms):
+            acc = alg.add(alg.mul(acc, alpha), t)
+        out.append(acc)
+    return out
