@@ -1,0 +1,281 @@
+"""StorageProof fragment — the dominant circuit cost: verify a Substrate
+child-trie storage proof of a transfer leaf under a public root hash.
+
+Semantics parity: /root/reference/wormhole/circuit/src/storage_proof/
+{mod.rs, leaf.rs}:
+  * MAX_PROOF_LEN = 20 node slots, 188 felts (32-bit limbs) per node
+  * per slot: Poseidon-hash the whole node, conditionally equate to the
+    previous hash (is_proof_node = i < proof_len); scan the first 180
+    felts for the committed child-hash offset, reconstructing 4 64-bit
+    elements from 8 32-bit limbs (lo + hi * 2^32); range-check all felts
+  * leaf check compares only elements 1..4 of H(leaf_inputs) with
+    prev_hash at i == proof_len ("first nibble" caveat, mod.rs:232-240)
+  * witness fill pads nodes with zeros and converts the byte-domain hex
+    index to a felt index (i / 8), mod.rs:105-113
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...plonk.builder import CircuitBuilder, HashOutTarget
+from ...plonk.gadgets import is_const_less_than
+from ...utils import codec
+
+MAX_PROOF_LEN = 20
+PROOF_NODE_MAX_SIZE_F = 188
+PROOF_NODE_MAX_SIZE_B = 256
+FELTS_PER_AMOUNT = 2
+
+
+# -- leaf inputs (leaf.rs) --------------------------------------------------
+
+
+@dataclass
+class LeafTargets:
+    transfer_count: list  # 2 targets
+    funding_account: HashOutTarget
+    to_account: HashOutTarget
+    funding_amount: list  # 4 public-input targets
+
+    @classmethod
+    def new(cls, builder: CircuitBuilder) -> "LeafTargets":
+        return cls(
+            transfer_count=builder.add_virtual_targets(2),
+            funding_account=builder.add_virtual_hash(),
+            to_account=builder.add_virtual_hash(),
+            funding_amount=[
+                builder.add_virtual_public_input() for _ in range(4)
+            ],
+        )
+
+    def collect_to_vec(self) -> list:
+        """count || funding_account || to_account || amount = 14 felts
+        (leaf.rs:40-48)."""
+        return (
+            list(self.transfer_count)
+            + list(self.funding_account.elements)
+            + list(self.to_account.elements)
+            + list(self.funding_amount)
+        )
+
+    def collect_32_bit_targets(self) -> list:
+        return list(self.transfer_count) + list(self.funding_amount)
+
+
+@dataclass
+class LeafInputs:
+    transfer_count: np.ndarray  # (2,)
+    funding_account: np.ndarray  # (4,) digest felts
+    to_account: np.ndarray  # (4,)
+    funding_amount: np.ndarray  # (4,)
+
+    @classmethod
+    def new(
+        cls,
+        transfer_count: int,
+        funding_account: codec.BytesDigest,
+        to_account: codec.BytesDigest,
+        funding_amount: int,
+    ) -> "LeafInputs":
+        return cls(
+            transfer_count=codec.u64_to_felts(transfer_count),
+            funding_account=codec.digest_bytes_to_felts(funding_account),
+            to_account=codec.digest_bytes_to_felts(to_account),
+            funding_amount=codec.u128_to_felts(funding_amount),
+        )
+
+    @classmethod
+    def from_inputs(cls, inputs) -> "LeafInputs":
+        return cls.new(
+            inputs.private.transfer_count,
+            inputs.private.funding_account,
+            inputs.private.unspendable_account,
+            inputs.public.funding_amount,
+        )
+
+    def to_vec(self) -> np.ndarray:
+        return np.concatenate(
+            [
+                self.transfer_count,
+                self.funding_account,
+                self.to_account,
+                self.funding_amount,
+            ]
+        )
+
+
+# -- storage proof ----------------------------------------------------------
+
+
+@dataclass
+class ProcessedStorageProof:
+    """Raw proof nodes + per-node child-hash hex indices (mod.rs:60-77)."""
+
+    proof: list  # list[bytes]
+    indices: list  # list[int]
+
+    def __post_init__(self):
+        if len(self.proof) != len(self.indices):
+            raise ValueError(
+                "indices length must be equal to proof length, actual "
+                f"lengths: {len(self.proof)}, {len(self.indices)}"
+            )
+
+
+@dataclass
+class StorageProof:
+    proof: list  # list[np.ndarray] felts per node
+    indices: np.ndarray  # (n,) felts
+    root_hash: bytes  # 32 bytes
+    leaf_inputs: LeafInputs
+
+    @classmethod
+    def new(
+        cls,
+        processed: ProcessedStorageProof,
+        root_hash: bytes,
+        leaf_inputs: LeafInputs,
+    ) -> "StorageProof":
+        proof = [
+            codec.injective_bytes_to_felts(node) for node in processed.proof
+        ]
+        # hex index -> felt index (8 hex chars per felt), mod.rs:105-113
+        indices = np.array(
+            [i // (codec.INJECTIVE_BYTES_PER_ELEMENT * 2) for i in processed.indices],
+            dtype=np.uint64,
+        )
+        return cls(
+            proof=proof,
+            indices=indices,
+            root_hash=bytes(root_hash),
+            leaf_inputs=leaf_inputs,
+        )
+
+    @classmethod
+    def from_inputs(cls, inputs) -> "StorageProof":
+        return cls.new(
+            inputs.private.storage_proof,
+            bytes(inputs.public.root_hash),
+            LeafInputs.from_inputs(inputs),
+        )
+
+
+@dataclass
+class StorageProofTargets:
+    root_hash: HashOutTarget
+    proof_len: int  # target
+    proof_data: list  # MAX_PROOF_LEN lists of PROOF_NODE_MAX_SIZE_F targets
+    indices: list  # MAX_PROOF_LEN targets
+    leaf_inputs: LeafTargets
+
+    @classmethod
+    def new(cls, builder: CircuitBuilder) -> "StorageProofTargets":
+        return cls(
+            root_hash=builder.add_virtual_hash_public_input(),
+            proof_len=builder.add_virtual_target(),
+            proof_data=[
+                builder.add_virtual_targets(PROOF_NODE_MAX_SIZE_F)
+                for _ in range(MAX_PROOF_LEN)
+            ],
+            indices=[
+                builder.add_virtual_target() for _ in range(MAX_PROOF_LEN)
+            ],
+            leaf_inputs=LeafTargets.new(builder),
+        )
+
+
+def circuit(targets: StorageProofTargets, builder: CircuitBuilder) -> None:
+    """mod.rs:136-244."""
+    leaf = targets.leaf_inputs
+    for t in leaf.collect_32_bit_targets():
+        builder.range_check(t, 32)
+
+    leaf_inputs_hash = builder.hash_n_to_hash_no_pad(leaf.collect_to_vec())
+    two_pow_32 = builder.constant(1 << 32)
+    zero = builder.zero()
+
+    prev_hash = targets.root_hash
+    n_log = (MAX_PROOF_LEN - 1).bit_length()
+    for i in range(MAX_PROOF_LEN):
+        node = targets.proof_data[i]
+        is_proof_node = is_const_less_than(
+            builder, i, targets.proof_len, n_log
+        )
+        i_t = builder.constant(i)
+        is_leaf_node = builder.is_equal(i_t, targets.proof_len)
+
+        computed_hash = builder.hash_n_to_hash_no_pad(list(node))
+        for y in range(4):
+            diff = builder.sub(
+                computed_hash.elements[y], prev_hash.elements[y]
+            )
+            result = builder.mul(diff, is_proof_node.target)
+            builder.connect(result, zero)
+
+        found_hash = [zero, zero, zero, zero]
+        expected_hash_index = targets.indices[i]
+        for j in range(PROOF_NODE_MAX_SIZE_F - 8):
+            builder.range_check(node[j], 32)
+            felt_index = builder.constant(j)
+            is_start = builder.is_equal(felt_index, expected_hash_index)
+
+            def combine_le_32x2(lo, hi):
+                hi_shifted = builder.mul(hi, two_pow_32)
+                return builder.add(lo, hi_shifted)
+
+            h = [
+                combine_le_32x2(node[j + 2 * k], node[j + 2 * k + 1])
+                for k in range(4)
+            ]
+            for k in range(4):
+                found_hash[k] = builder.select(is_start, h[k], found_hash[k])
+        for j in range(PROOF_NODE_MAX_SIZE_F - 8, PROOF_NODE_MAX_SIZE_F):
+            builder.range_check(node[j], 32)
+
+        # leaf check: only elements 1..4 (first-nibble caveat)
+        for y in range(1, 4):
+            diff = builder.sub(
+                leaf_inputs_hash.elements[y], prev_hash.elements[y]
+            )
+            result = builder.mul(diff, is_leaf_node.target)
+            builder.connect(result, zero)
+
+        prev_hash = HashOutTarget.from_list(found_hash)
+
+
+def fill_targets(sp: StorageProof, pw, targets: StorageProofTargets) -> None:
+    """mod.rs:246-307."""
+    root_digest = codec.digest_bytes_to_felts(codec.BytesDigest(sp.root_hash))
+    pw.set_hash_target(targets.root_hash, root_digest)
+    if len(sp.proof) > MAX_PROOF_LEN:
+        raise ValueError(
+            f"proof length exceeds maximum allowed length: "
+            f"{len(sp.proof)} > {MAX_PROOF_LEN}"
+        )
+    pw.set_target(targets.proof_len, len(sp.proof))
+
+    for i in range(MAX_PROOF_LEN):
+        if i < len(sp.proof):
+            node = np.asarray(sp.proof[i], dtype=np.uint64)
+            if len(node) > PROOF_NODE_MAX_SIZE_F:
+                raise ValueError(
+                    f"proof node at index {i} is too large: {len(node)}"
+                )
+            padded = np.zeros(PROOF_NODE_MAX_SIZE_F, dtype=np.uint64)
+            padded[: len(node)] = node
+        else:
+            padded = np.zeros(PROOF_NODE_MAX_SIZE_F, dtype=np.uint64)
+        pw.set_target_arr(targets.proof_data[i], padded)
+
+    for i in range(MAX_PROOF_LEN):
+        felt = int(sp.indices[i]) if i < len(sp.indices) else 0
+        pw.set_target(targets.indices[i], felt)
+
+    li = sp.leaf_inputs
+    pw.set_target_arr(targets.leaf_inputs.transfer_count, li.transfer_count)
+    pw.set_hash_target(targets.leaf_inputs.funding_account, li.funding_account)
+    pw.set_hash_target(targets.leaf_inputs.to_account, li.to_account)
+    pw.set_target_arr(targets.leaf_inputs.funding_amount, li.funding_amount)
