@@ -54,6 +54,97 @@ def default_processed_storage_proof() -> ProcessedStorageProof:
     )
 
 
+def synthesize_storage_proof():
+    """Rebuild the captured 7-node proof's embedded child hashes
+    bottom-up under THIS framework's Poseidon table, preserving the
+    exact node structure, sizes and hash indices of the reference
+    fixture (test-helpers/src/lib.rs:68-80).
+
+    The reference fixture's embedded hashes were produced by
+    qp-plonky2's Poseidon; until that crate's exact round-constant
+    table is recovered (tools/solve_poseidon_gap.py), the raw fixture
+    cannot hash-chain under any other table, so we re-derive a
+    structurally identical chain: node[i] embeds
+    H(pad188(felts(node[i+1]))) at byte offset indices[i]/2, the leaf
+    node embeds H(leaf_inputs), and the root is H(pad188(node[0])).
+
+    Returns (processed_proof, root_hash_bytes, leaf_inputs_hash).
+    """
+    import numpy as np
+
+    from qzk_tpu.models.wormhole.storage_proof import (
+        PROOF_NODE_MAX_SIZE_F,
+        LeafInputs,
+    )
+    from qzk_tpu.ops import poseidon
+
+    def node_hash(node_bytes: bytes) -> np.ndarray:
+        felts = codec.injective_bytes_to_felts(node_bytes)
+        padded = np.zeros(PROOF_NODE_MAX_SIZE_F, dtype=np.uint64)
+        padded[: len(felts)] = felts
+        return poseidon.hash_no_pad(padded)
+
+    def digest_to_bytes(d: np.ndarray) -> bytes:
+        return b"".join(int(x).to_bytes(8, "little") for x in d)
+
+    nodes = [bytearray(bytes.fromhex(n)) for n in DEFAULT_STORAGE_PROOF]
+    indices = list(DEFAULT_STORAGE_PROOF_INDICES)
+
+    leaf_inputs = LeafInputs.new(
+        DEFAULT_TRANSFER_COUNT,
+        codec.BytesDigest(DEFAULT_FUNDING_ACCOUNT),
+        _default_unspendable_digest(),
+        DEFAULT_FUNDING_AMOUNT,
+    )
+    leaf_hash = poseidon.hash_no_pad(leaf_inputs.to_vec())
+
+    # leaf node (last) embeds H(leaf_inputs) at its index
+    last = len(nodes) - 1
+    off = indices[last] // 2
+    nodes[last][off : off + 32] = digest_to_bytes(leaf_hash)
+    # interior nodes embed H(child node) bottom-up
+    for i in range(last - 1, -1, -1):
+        child_hash = node_hash(bytes(nodes[i + 1]))
+        off = indices[i] // 2
+        nodes[i][off : off + 32] = digest_to_bytes(child_hash)
+    root_hash = digest_to_bytes(node_hash(bytes(nodes[0])))
+
+    processed = ProcessedStorageProof(
+        proof=[bytes(n) for n in nodes], indices=indices
+    )
+    return processed, root_hash, leaf_hash
+
+
+def _default_unspendable_digest() -> codec.BytesDigest:
+    secret = bytes.fromhex(DEFAULT_SECRET)
+    unspendable = UnspendableAccount.from_secret(secret)
+    return codec.BytesDigest.from_felts(unspendable.account_id)
+
+
+def synthetic_circuit_inputs() -> CircuitInputs:
+    """Complete wormhole CircuitInputs over the synthesized proof —
+    the full 7-node storage-proof walk, provable under this
+    framework's Poseidon table."""
+    secret = bytes.fromhex(DEFAULT_SECRET)
+    nullifier = Nullifier.from_preimage(secret, DEFAULT_TRANSFER_COUNT)
+    processed, root_hash, _ = synthesize_storage_proof()
+    return CircuitInputs(
+        public=PublicCircuitInputs(
+            funding_amount=DEFAULT_FUNDING_AMOUNT,
+            nullifier=codec.BytesDigest.from_felts(nullifier.hash),
+            root_hash=codec.BytesDigest(root_hash),
+            exit_account=codec.BytesDigest(DEFAULT_EXIT_ACCOUNT),
+        ),
+        private=PrivateCircuitInputs(
+            secret=secret,
+            storage_proof=processed,
+            transfer_count=DEFAULT_TRANSFER_COUNT,
+            funding_account=codec.BytesDigest(DEFAULT_FUNDING_ACCOUNT),
+            unspendable_account=_default_unspendable_digest(),
+        ),
+    )
+
+
 def default_circuit_inputs() -> CircuitInputs:
     secret = bytes.fromhex(DEFAULT_SECRET)
     nullifier = Nullifier.from_preimage(secret, DEFAULT_TRANSFER_COUNT)

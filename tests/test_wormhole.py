@@ -1,0 +1,168 @@
+"""Wormhole circuit end-to-end tests: full 4-fragment circuit over the
+synthesized 7-node storage proof, prove + verify + public-input ABI +
+tamper negatives (mirrors /root/reference/wormhole/tests/src/
+{prover/prover_tests.rs, verifier/verifier_tests.rs,
+circuit/storage_proof_tests.rs})."""
+
+import numpy as np
+import pytest
+
+from qzk_tpu.models.wormhole.inputs import (
+    EXIT_ACCOUNT_START_INDEX,
+    FUNDING_AMOUNT_START_INDEX,
+    NULLIFIER_START_INDEX,
+    ROOT_HASH_START_INDEX,
+    PublicCircuitInputs,
+)
+from qzk_tpu.models.wormhole.prover import WormholeProver
+from qzk_tpu.models.wormhole.verifier import WormholeVerifier
+from qzk_tpu.plonk.fri import VerificationError
+from qzk_tpu.plonk.witness import WitnessConflict
+from qzk_tpu.utils import codec
+
+from fixtures import (
+    DEFAULT_EXIT_ACCOUNT,
+    DEFAULT_FUNDING_AMOUNT,
+    synthetic_circuit_inputs,
+)
+
+from qzk_tpu.plonk.config import CircuitConfig
+
+CIRCUIT_CONFIG = CircuitConfig.standard_recursion_config()
+
+
+@pytest.fixture(scope="module")
+def circuit_data():
+    """Build the wormhole circuit ONCE for the whole module."""
+    from qzk_tpu.models.wormhole.circuit import WormholeCircuit
+
+    circuit = WormholeCircuit(CIRCUIT_CONFIG)
+    targets = circuit.targets()
+    return circuit.build_circuit(), targets
+
+
+@pytest.fixture(scope="module")
+def prover(circuit_data):
+    data, targets = circuit_data
+    return WormholeProver(
+        CIRCUIT_CONFIG, _circuit_data=data.prover_data(), _targets=targets
+    )
+
+
+@pytest.fixture(scope="module")
+def proof(prover):
+    return prover.commit(synthetic_circuit_inputs()).prove()
+
+
+@pytest.fixture(scope="module")
+def verifier(circuit_data):
+    data, _ = circuit_data
+    return WormholeVerifier.new(CIRCUIT_CONFIG, data.verifier_data())
+
+
+class TestProver:
+    def test_public_input_abi(self, proof):
+        """16 felts: nullifier[0:4] root[4:8] amount[8:12] exit[12:16]
+        (inputs.rs:12-19)."""
+        assert len(proof.public_inputs) == 16
+        pis = PublicCircuitInputs.try_from_slice(proof.public_inputs)
+        inputs = synthetic_circuit_inputs()
+        assert pis.funding_amount == DEFAULT_FUNDING_AMOUNT
+        assert bytes(pis.nullifier) == bytes(inputs.public.nullifier)
+        assert bytes(pis.root_hash) == bytes(inputs.public.root_hash)
+        assert bytes(pis.exit_account) == DEFAULT_EXIT_ACCOUNT
+
+    def test_commit_is_single_shot(self, prover):
+        with pytest.raises(RuntimeError):
+            prover.commit(synthetic_circuit_inputs())
+
+
+class TestVerifier:
+    def test_verify(self, verifier, proof):
+        verifier.verify(proof)
+
+    @pytest.mark.parametrize(
+        "start",
+        [
+            NULLIFIER_START_INDEX,
+            ROOT_HASH_START_INDEX,
+            FUNDING_AMOUNT_START_INDEX,
+            EXIT_ACCOUNT_START_INDEX,
+        ],
+    )
+    def test_tampered_public_input_fails(self, verifier, proof, start):
+        """Flipping any public-input felt must fail verification
+        (verifier_tests.rs:49-66)."""
+        import copy
+
+        tampered = copy.copy(proof)
+        tampered.public_inputs = np.array(proof.public_inputs, copy=True)
+        tampered.public_inputs[start] ^= np.uint64(1)
+        with pytest.raises(VerificationError):
+            verifier.verify(tampered)
+
+
+class TestStorageProofNegatives:
+    """Tampered witness data must be caught at witness-generation time
+    with a set-twice conflict (storage_proof_tests.rs:31-100)."""
+
+    def _commit_tampered(self, prover_data, targets, mutate):
+        inputs = synthetic_circuit_inputs()
+        inputs = mutate(inputs) or inputs
+        fresh = WormholeProver(
+            CIRCUIT_CONFIG,
+            _circuit_data=prover_data,
+            _targets=targets,
+        )
+        return fresh.commit(inputs).prove()
+
+    @pytest.fixture(scope="class")
+    def shared(self, circuit_data):
+        data, targets = circuit_data
+        return data.prover_data(), targets
+
+    def test_tampered_node_byte_fails(self, shared):
+        data, targets = shared
+
+        def mutate(inputs):
+            node = bytearray(inputs.private.storage_proof.proof[3])
+            node[7] ^= 0x01
+            inputs.private.storage_proof.proof[3] = bytes(node)
+
+        with pytest.raises((WitnessConflict, ValueError)):
+            self._commit_tampered(data, targets, mutate)
+
+    def test_wrong_root_fails(self, shared):
+        import dataclasses
+
+        data, targets = shared
+
+        def mutate(inputs):
+            root = bytearray(bytes(inputs.public.root_hash))
+            root[0] ^= 0x01
+            return dataclasses.replace(
+                inputs,
+                public=dataclasses.replace(
+                    inputs.public, root_hash=codec.BytesDigest(bytes(root))
+                ),
+            )
+
+        with pytest.raises((WitnessConflict, ValueError)):
+            self._commit_tampered(data, targets, mutate)
+
+    def test_wrong_amount_fails(self, shared):
+        import dataclasses
+
+        data, targets = shared
+
+        def mutate(inputs):
+            return dataclasses.replace(
+                inputs,
+                public=dataclasses.replace(
+                    inputs.public,
+                    funding_amount=inputs.public.funding_amount + 1,
+                ),
+            )
+
+        with pytest.raises((WitnessConflict, ValueError)):
+            self._commit_tampered(data, targets, mutate)
