@@ -295,8 +295,13 @@ class CircuitBuilder:
     # -- bit decomposition --------------------------------------------------
 
     def split_le(self, t: Target, bits: int) -> list[BoolTarget]:
-        """Decompose into `bits` little-endian bits (constrains t < 2^bits)."""
-        assert 1 <= bits <= 63
+        """Decompose into `bits` little-endian bits (constrains t < 2^bits).
+
+        bits == 64 admits two representations of small values (v and
+        v + p both fit in 64 bits when v < 2^32 - 1); used only where
+        that ambiguity is sound (FRI query indices / PoW response —
+        see recursion.py)."""
+        assert 1 <= bits <= 64
         gate = BitDecompGate(
             bits=bits, num_ops=max(1, self.config.num_routed_wires // (bits + 1))
         )
@@ -317,6 +322,14 @@ class CircuitBuilder:
 
     def range_check(self, t: Target, bits: int) -> None:
         self.split_le(t, bits)
+
+    def inverse(self, x: Target) -> Target:
+        """1/x as a witness, constrained by x * inv == 1 (so x == 0 is
+        unprovable)."""
+        inv = self.add_virtual_target()
+        self.generators.append(Generator("inv_or_zero", (x, inv)))
+        self._arith_op(1, 0, x, inv, self.zero(), connect_to=self.one())
+        return inv
 
     def assert_bool(self, b: BoolTarget) -> None:
         self._arith_op(

@@ -56,6 +56,10 @@ class BaseAlgebra:
     def one(self):
         return np.uint64(1)
 
+    def lift(self, v):
+        """A scalar challenge (int/uint64) used as an algebra element."""
+        return self.const(int(v))
+
 
 class ExtAlgebra:
     """Quadratic-extension scalars (opening evaluation). Elements:
@@ -73,6 +77,9 @@ class ExtAlgebra:
 
     def one(self):
         return np.array([1, 0], dtype=np.uint64)
+
+    def lift(self, v):
+        return self.const(int(v))
 
 
 class JaxAlgebra:
@@ -107,6 +114,9 @@ class JaxAlgebra:
         import jax.numpy as jnp
 
         return jnp.uint64(1)
+
+    def lift(self, v):
+        return self.const(int(v))
 
 
 def _x7(alg, x):

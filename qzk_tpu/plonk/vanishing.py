@@ -51,8 +51,8 @@ def eval_vanishing(
     num_routed = cfg.num_routed_wires
     chunk = common.chunk_size
     for c in range(cfg.num_challenges):
-        beta = alg.const(int(betas[c]))
-        gamma = alg.const(int(gammas[c]))
+        beta = alg.lift(betas[c])
+        gamma = alg.lift(gammas[c])
         nums = []
         dens = []
         for j in range(num_routed):
@@ -79,7 +79,7 @@ def eval_vanishing(
             )
         terms.append(alg.mul(l1, alg.sub(zs[c], alg.one())))
 
-        alpha = alg.const(int(alphas[c]))
+        alpha = alg.lift(alphas[c])
         acc = alg.zero()
         for t in reversed(terms):
             acc = alg.add(alg.mul(acc, alpha), t)

@@ -194,13 +194,14 @@ def run_generators(
         elif kind == "bits":
             v = read([i[0] for i in items])
             nbits = len(items[0][1])
-            too_big = v >> np.uint64(nbits)
-            if too_big.any():
-                bad = np.where(too_big)[0][0]
-                raise ValueError(
-                    f"value {int(v[bad])} does not fit in {nbits} bits "
-                    "(range check failed at witness time)"
-                )
+            if nbits < 64:
+                too_big = v >> np.uint64(nbits)
+                if too_big.any():
+                    bad = np.where(too_big)[0][0]
+                    raise ValueError(
+                        f"value {int(v[bad])} does not fit in {nbits} bits "
+                        "(range check failed at witness time)"
+                    )
             bits = (v[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
             all_ts = [t for _, bit_ts in items for t in bit_ts]
             write(all_ts, bits.ravel())
