@@ -60,11 +60,9 @@ def synthesize_storage_proof():
     exact node structure, sizes and hash indices of the reference
     fixture (test-helpers/src/lib.rs:68-80).
 
-    The reference fixture's embedded hashes were produced by
-    qp-plonky2's Poseidon; until that crate's exact round-constant
-    table is recovered (tools/solve_poseidon_gap.py), the raw fixture
-    cannot hash-chain under any other table, so we re-derive a
-    structurally identical chain: node[i] embeds
+    With the recovered qp-plonky2 round-constant table this equals the
+    raw captured fixture byte-for-byte; kept as an independent
+    construction check of the chain structure: node[i] embeds
     H(pad188(felts(node[i+1]))) at byte offset indices[i]/2, the leaf
     node embeds H(leaf_inputs), and the root is H(pad188(node[0])).
 

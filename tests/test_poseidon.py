@@ -1,7 +1,6 @@
 """Poseidon: structural self-tests, JAX-vs-numpy bit-exactness, and the
-reference golden-digest suite (currently xfail: the exact qp-plonky2
-round-constant table is not yet recovered — see tools/poseidon_recovery.py;
-everything else in the stack is constants-agnostic)."""
+reference golden-digest suite (bit-exact against the recovered qp-plonky2
+round-constant table; see qzk_tpu/ops/_poseidon_constants.py)."""
 
 import numpy as np
 import pytest
@@ -91,13 +90,6 @@ class TestJaxBitExact:
             assert (got[i] == poseidon.two_to_one(l[i], r[i])).all()
 
 
-@pytest.mark.xfail(
-    reason="exact qp-plonky2 round-constant table not yet recovered "
-    "(348/360 entries known; see tools/poseidon_recovery.py). The stack "
-    "is self-consistent with the shipped Grain table; swapping in the "
-    "recovered table flips these to pass with no other change.",
-    strict=False,
-)
 class TestReferenceGoldens:
     """Golden vectors from the reference repo
     (unspendable_account_tests.rs:12-27, prover_tests.rs:29-44)."""
