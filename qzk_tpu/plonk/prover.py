@@ -39,6 +39,25 @@ from .vanishing import eval_vanishing
 from .witness import run_generators
 
 USE_DEVICE = os.environ.get("QZK_HOST_ONLY") != "1"
+TIMING = os.environ.get("QZK_TIMING") == "1"
+
+
+class _PhaseTimer:
+    """Env-gated (QZK_TIMING=1) wall-clock per prove phase, for the
+    profiling harness (SURVEY.md §5: the reference has no tracing; we
+    add a lightweight one)."""
+
+    def __init__(self):
+        import time
+
+        self._clock = time.perf_counter
+        self._last = self._clock()
+
+    def mark(self, name: str):
+        if TIMING:
+            now = self._clock()
+            print(f"[qzk timing] {name}: {now - self._last:.3f}s", flush=True)
+            self._last = now
 
 
 def _prefix_prod_exclusive(a: np.ndarray) -> np.ndarray:
@@ -102,7 +121,9 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
     num_routed = cfg.num_routed_wires
 
     # 1. witness generation -------------------------------------------------
+    _t = _PhaseTimer()
     values, known = run_generators(prover_only.plan, pw)
+    _t.mark("witness generators")
     public_inputs = values[
         prover_only.plan.roots[
             np.asarray(prover_only.public_inputs, dtype=np.int64)
@@ -145,9 +166,11 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         wires_coeffs, wires_lde = _lde_rows_device(wires_values, rate_bits)
     else:
         wires_coeffs, wires_lde = _lde_rows(wires_values, rate_bits)
+    _t.mark("wires LDE")
     wires_tree = _commit_rows(
         wires_lde, fri_cfg.cap_height, fresh_salt(lde_size)
     )
+    _t.mark("wires commit")
 
     challenger = Challenger()
     challenger.observe_elements(common.circuit_digest)
@@ -197,7 +220,9 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         if USE_DEVICE and N >= 1 << 10
         else _lde_rows(zs_pp_values, rate_bits)
     )
+    _t.mark("permutation Zs + LDE")
     zs_tree = _commit_rows(zs_lde, fri_cfg.cap_height, fresh_salt(lde_size))
+    _t.mark("zs commit")
     challenger.observe_cap(zs_tree.cap)
     alphas = challenger.get_n_challenges(cfg.num_challenges)
 
@@ -236,6 +261,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
             [zs_lde[base + 1 + k] for k in range(common.num_partial_products)]
         )
 
+    _t.mark("quotient setup")
     vanishing = eval_vanishing(
         common,
         alg,
@@ -253,6 +279,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         alphas,
         l1,
     )
+    _t.mark("vanishing eval")
 
     quotient_values = np.zeros(
         (common.num_quotient_polys, N), dtype=np.uint64
@@ -278,9 +305,11 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
     # quotient_values currently hold *coefficients*; LDE them directly
     quotient_coeffs = quotient_values
     quotient_lde = ntt_mod.coset_lde_np(quotient_coeffs, rate_bits)
+    _t.mark("quotient eval+divide+LDE")
     quotient_tree = _commit_rows(
         quotient_lde, fri_cfg.cap_height, fresh_salt(lde_size)
     )
+    _t.mark("quotient commit")
     challenger.observe_cap(quotient_tree.cap)
     zeta = challenger.get_extension_challenge()
 
@@ -296,6 +325,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         quotient=_eval_polys_ext(quotient_coeffs, zeta),
         zs_partial_right=_eval_polys_ext(zs_coeffs, zeta_right),
     )
+    _t.mark("openings (Horner)")
     for tag, vals in openings.batches():
         challenger.observe_elements(vals.ravel())
     fri_alpha = challenger.get_extension_challenge()
@@ -323,6 +353,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         coset_points,
     )
     G = gl.ext_add(G, G2)
+    _t.mark("FRI input poly")
 
     commitment = fri_mod.fri_commit(
         G, common.degree_bits, common, challenger
@@ -333,10 +364,12 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         zs_tree,
         quotient_tree,
     ]
+    _t.mark("FRI commit")
     query_rounds = fri_mod.fri_query_rounds(
         oracles, commitment, common.degree_bits, common, challenger
     )
 
+    _t.mark("FRI queries")
     proof = Proof(
         wires_cap=wires_tree.cap,
         zs_partial_cap=zs_tree.cap,
