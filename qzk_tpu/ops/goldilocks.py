@@ -156,22 +156,60 @@ def canonicalize(a) -> np.ndarray:
 
 
 def batch_inverse(a) -> np.ndarray:
-    """Montgomery batch inversion of a flat array (all nonzero)."""
+    """Montgomery batch inversion of a flat array (all nonzero).
+
+    Reshapes to a (rows, cols) grid and runs the serial Montgomery walk
+    along the short rows axis only, vectorized over cols, so cost is
+    O(rows) numpy calls + one wide Fermat inversion of the cols totals."""
     a = _as_u64(a).ravel()
     n = a.shape[0]
     if n == 0:
         return a
-    prefix = np.empty(n, dtype=np.uint64)
-    acc = np.uint64(1)
-    for i in range(n):
+    if n == 1:
+        return inverse(a)
+    cols = min(4096, 1 << ((n.bit_length() - 1) // 2 + 1))
+    rows = -(-n // cols)
+    padded = np.ones(rows * cols, dtype=np.uint64)
+    padded[:n] = a
+    out = batch_inverse_axis(padded.reshape(rows, cols), axis=0).ravel()
+    return out[:n].copy()
+
+
+def batch_inverse_axis(a: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Montgomery batch inversion along one axis (all entries nonzero),
+    vectorized over every other axis: K serial steps for shape[axis]=K."""
+    a = _as_u64(a)
+    a = np.moveaxis(a, axis, 0)
+    k = a.shape[0]
+    prefix = np.empty_like(a)
+    acc = np.ones(a.shape[1:], dtype=np.uint64)
+    for i in range(k):
         prefix[i] = acc
         acc = mul(acc, a[i])
     inv_acc = inverse(acc)
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n - 1, -1, -1):
+    out = np.empty_like(a)
+    for i in range(k - 1, -1, -1):
         out[i] = mul(inv_acc, prefix[i])
         inv_acc = mul(inv_acc, a[i])
-    return out
+    return np.moveaxis(out, 0, axis)
+
+
+def sum_mod(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Modular sum along an axis via halving tree reduction (log2 n
+    vectorized adds)."""
+    a = np.moveaxis(_as_u64(a), axis, -1)
+    n = a.shape[-1]
+    if n == 0:
+        return np.zeros(a.shape[:-1], dtype=np.uint64)
+    while n > 1:
+        half = n // 2
+        s = add(a[..., :half], a[..., half : 2 * half])
+        if n & 1:
+            s = s.copy()
+            s[..., 0] = add(s[..., 0], a[..., -1])
+        a = s
+        n = half
+    return a[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +266,19 @@ def ext_inverse(a) -> np.ndarray:
     norm = sub(mul(a0, a0), mul(_W, mul(a1, a1)))
     inv_norm = inverse(norm)
     return np.stack([mul(a0, inv_norm), mul(neg(a1), inv_norm)], axis=-1)
+
+
+def ext_powers_vec(z: np.ndarray, n: int) -> np.ndarray:
+    """[z^0 .. z^(n-1)] as (n, 2) via log2(n) vectorized doubling steps
+    (z a (2,) extension scalar)."""
+    pows = np.array([[1, 0]], dtype=np.uint64)
+    z_len = z.reshape(1, 2)
+    while pows.shape[0] < n:
+        pows = np.concatenate(
+            [pows, ext_mul(pows, np.broadcast_to(z_len, pows.shape))]
+        )
+        z_len = ext_mul(z_len, z_len)
+    return pows[:n]
 
 
 def ext_exp(a, e: int) -> np.ndarray:

@@ -35,7 +35,7 @@ from .proof import FriInitialProof, FriProof, FriQueryRound, FriQueryStep
 def ext_inverse_vec(a: np.ndarray) -> np.ndarray:
     a0, a1 = a[..., 0], a[..., 1]
     norm = gl.sub(gl.mul(a0, a0), gl.mul(np.uint64(7), gl.mul(a1, a1)))
-    inv = gl.inverse(norm)
+    inv = gl.batch_inverse(norm).reshape(norm.shape)
     return np.stack([gl.mul(a0, inv), gl.mul(gl.neg(a1), inv)], axis=-1)
 
 

@@ -50,6 +50,10 @@ class BaseAlgebra:
     sub = staticmethod(gl.sub)
     mul = staticmethod(gl.mul)
 
+    def mul_const(self, c: int, x):
+        """Multiply by a small non-negative python-int constant."""
+        return gl.mul(np.uint64(c % gl.P), x)
+
     def zero(self):
         return np.uint64(0)
 
@@ -71,6 +75,9 @@ class ExtAlgebra:
     add = staticmethod(gl.ext_add)
     sub = staticmethod(gl.ext_sub)
     mul = staticmethod(gl.ext_mul)
+
+    def mul_const(self, c: int, x):
+        return gl.ext_scalar_mul(np.uint64(c % gl.P), x)
 
     def zero(self):
         return np.zeros(2, dtype=np.uint64)
@@ -105,6 +112,11 @@ class JaxAlgebra:
     def mul(self, a, b):
         return self._gj.mul(a, b)
 
+    def mul_const(self, c: int, x):
+        if 0 <= c < (1 << 32):
+            return self._gj.mul_small(x, c)
+        return self._gj.mul(self.const(c), x)
+
     def zero(self):
         import jax.numpy as jnp
 
@@ -116,7 +128,10 @@ class JaxAlgebra:
         return jnp.uint64(1)
 
     def lift(self, v):
-        return self.const(int(v))
+        if isinstance(v, (int, np.integer)):
+            return self.const(int(v))
+        return v  # traced device scalar (challenges stay traced: one
+        # compiled executable serves every proof of this circuit shape)
 
 
 def _x7(alg, x):
@@ -214,7 +229,7 @@ class PoseidonGate(Gate):
                 acc = alg.zero()
                 for c in range(W):
                     acc = alg.add(
-                        acc, alg.mul(alg.const(int(MDS[r][c])), state[c])
+                        acc, alg.mul_const(int(MDS[r][c]), state[c])
                     )
                 out.append(acc)
             return out

@@ -103,13 +103,13 @@ def _commit_rows(lde: np.ndarray, cap_height: int, salt: np.ndarray | None):
 
 
 def _eval_polys_ext(coeffs: np.ndarray, z: np.ndarray) -> np.ndarray:
-    """Horner-evaluate base polys (S, N) at extension point z -> (S, 2)."""
+    """Evaluate base polys (S, N) at extension point z -> (S, 2):
+    powers-of-z inner product (log N doubling + 2 modular reductions)."""
     S, N = coeffs.shape
-    acc = np.zeros((S, 2), dtype=np.uint64)
-    for i in range(N - 1, -1, -1):
-        acc = gl.ext_mul(acc, np.broadcast_to(z, (S, 2)))
-        acc[:, 0] = gl.add(acc[:, 0], coeffs[:, i])
-    return acc
+    pows = gl.ext_powers_vec(z, N)  # (N, 2)
+    c0 = gl.sum_mod(gl.mul(coeffs, pows[None, :, 0]), axis=1)
+    c1 = gl.sum_mod(gl.mul(coeffs, pows[None, :, 1]), axis=1)
+    return np.stack([c0, c1], axis=-1)
 
 
 def prove(common, prover_only, pw) -> ProofWithPublicInputs:
@@ -195,7 +195,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         gamma = np.uint64(gammas[c])
         nums = gl.add(gl.add(w_routed, gl.mul(beta, id_enc)), gamma)
         dens = gl.add(gl.add(w_routed, gl.mul(beta, sigma_enc)), gamma)
-        dens_inv = gl.exp(dens, gl.P - 2)
+        dens_inv = gl.batch_inverse_axis(dens, axis=1)
         ratios = gl.mul(nums, dens_inv)  # (N, 80)
         chunk_ratio = np.ones((N, n_chunks), dtype=np.uint64)
         for k in range(n_chunks):
@@ -243,7 +243,7 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
     # L1(x) = (x^N - 1) / (N (x - 1))
     l1 = gl.mul(
         z_h_full,
-        gl.inverse(
+        gl.batch_inverse(
             gl.mul(np.uint64(N), gl.sub(coset_points, np.uint64(1)))
         ),
     )
@@ -396,11 +396,15 @@ def _fri_input_poly(
 
     Alpha powers restart at alpha^0 for each batch (normative)."""
     S, M = lde_rows.shape
-    # combined values: Horner over rows (S steps, vectorized over M)
-    comb = np.zeros((M, 2), dtype=np.uint64)
-    for i in range(S - 1, -1, -1):
-        comb = gl.ext_mul(comb, np.broadcast_to(alpha, (M, 2)))
-        comb[:, 0] = gl.add(comb[:, 0], lde_rows[i])
+    # combined values: alpha-powers inner product, accumulated row-wise
+    # (cache-friendly: streams each contiguous LDE row once)
+    apows = gl.ext_powers_vec(alpha, S)  # (S, 2)
+    acc0 = np.zeros(M, dtype=np.uint64)
+    acc1 = np.zeros(M, dtype=np.uint64)
+    for i in range(S):
+        acc0 = gl.add(acc0, gl.mul(apows[i, 0], lde_rows[i]))
+        acc1 = gl.add(acc1, gl.mul(apows[i, 1], lde_rows[i]))
+    comb = np.stack([acc0, acc1], axis=-1)
     reduced_claim = np.zeros(2, dtype=np.uint64)
     for i in range(S - 1, -1, -1):
         reduced_claim = gl.ext_mul(reduced_claim, alpha)

@@ -141,6 +141,9 @@ class CircuitExtAlgebra:
     def sub(self, a: ExtVal, b_: ExtVal) -> ExtVal:
         return self.add(a, self.neg(b_))
 
+    def mul_const(self, c: int, x: ExtVal) -> ExtVal:
+        return self.mul(self.const(c), x)
+
     def mul(self, a: ExtVal, b_: ExtVal) -> ExtVal:
         b = self.b
         if a.kind == "c" and b_.kind == "c":
