@@ -126,6 +126,75 @@ def exp_const(a: GF, e: int) -> GF:
     return result
 
 
+def inverse(a: GF) -> GF:
+    """a^-1 via Fermat (a assumed nonzero)."""
+    return exp_const(a, P - 2)
+
+
+def powers_vec(b: GF, n: int) -> GF:
+    """[b^0 .. b^(n-1)] for a traced scalar b (n static), via log2(n)
+    vectorized doubling steps."""
+    pows = jnp.ones((1,), jnp.uint64)
+    cur = jnp.reshape(b, (1,))
+    while pows.shape[0] < n:
+        pows = jnp.concatenate(
+            [pows, mul(pows, jnp.broadcast_to(cur, pows.shape))]
+        )
+        cur = mul(cur, cur)
+    return pows[:n]
+
+
+def batch_inverse_axis(a: GF, axis: int = 0) -> GF:
+    """Montgomery batch inversion along one (short, static) axis:
+    2K serial vector muls + ONE Fermat inversion instead of K of them."""
+    a = jnp.moveaxis(a, axis, 0)
+    k = a.shape[0]
+    prefix = []
+    acc = jnp.ones(a.shape[1:], jnp.uint64)
+    for i in range(k):
+        prefix.append(acc)
+        acc = mul(acc, a[i])
+    inv_acc = inverse(acc)
+    outs = [None] * k
+    for i in range(k - 1, -1, -1):
+        outs[i] = mul(inv_acc, prefix[i])
+        inv_acc = mul(inv_acc, a[i])
+    return jnp.moveaxis(jnp.stack(outs), 0, axis)
+
+
+def sum_mod(a: GF, axis: int = -1) -> GF:
+    """Modular sum along an axis: log2(n) halving adds."""
+    a = jnp.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    if n == 0:
+        return jnp.zeros(a.shape[:-1], jnp.uint64)
+    while n > 1:
+        half = n // 2
+        s = add(a[..., :half], a[..., half : 2 * half])
+        if n & 1:
+            s = s.at[..., 0].set(add(s[..., 0], a[..., -1]))
+        a = s
+        n = half
+    return a[..., 0]
+
+
+def prefix_prod_exclusive(a: GF) -> GF:
+    """Exclusive modular prefix product along axis 0 (Hillis-Steele,
+    log2(n) vector muls)."""
+    n = a.shape[0]
+    res = a
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.ones((k,) + a.shape[1:], jnp.uint64), res[:-k]]
+        )
+        res = mul(res, shifted)
+        k *= 2
+    return jnp.concatenate(
+        [jnp.ones((1,) + a.shape[1:], jnp.uint64), res[:-1]]
+    )
+
+
 # -- quadratic extension (..., 2): c0 + c1*x with x^2 = 7 -------------------
 
 _W = jnp.uint64(7)
@@ -149,3 +218,24 @@ def ext_mul(a, b):
 
 def ext_scalar_mul(s, a):
     return mul(jnp.broadcast_to(s[..., None], a.shape), a)
+
+
+def ext_inverse_vec(a):
+    """(..., 2) extension inverse: conj / norm, norm inverted via Fermat."""
+    a0, a1 = a[..., 0], a[..., 1]
+    norm = sub(mul(a0, a0), mul_small(mul(a1, a1), 7))
+    inv = inverse(norm)
+    return jnp.stack([mul(a0, inv), mul(neg(a1), inv)], axis=-1)
+
+
+def ext_powers(z, n: int):
+    """[z^0 .. z^(n-1)] as (n, 2) via log2(n) vectorized doubling steps
+    (z a (2,) traced extension scalar; n static)."""
+    pows = jnp.zeros((1, 2), jnp.uint64).at[0, 0].set(jnp.uint64(1))
+    z_len = jnp.reshape(z, (1, 2))
+    while pows.shape[0] < n:
+        pows = jnp.concatenate(
+            [pows, ext_mul(pows, jnp.broadcast_to(z_len, pows.shape))]
+        )
+        z_len = ext_mul(z_len, z_len)
+    return pows[:n]

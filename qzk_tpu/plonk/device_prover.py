@@ -1,0 +1,618 @@
+"""Device-resident prove pipeline — the TPU fast path.
+
+Same protocol as plonk/prover.py (bit-exact: identical transcripts,
+commitments and proofs), but every heavy phase stays on device between
+transcript interactions:
+
+  wires upload -> [iNTT -> coset LDE -> Merkle levels]        (1 jit)
+  betas/gammas -> [permutation Zs -> LDE -> Merkle levels]     (1 jit)
+  alphas       -> [vanishing eval -> /Z_H -> quotient coeffs
+                   -> LDE -> Merkle levels + degree check]     (1 jit)
+  zeta         -> [openings at zeta / g*zeta]                  (1 jit)
+  fri alpha    -> [FRI input polynomial G]                     (1 jit)
+  FRI commit:  per layer [leaves+levels] + [fold]              (jits)
+  PoW grind on device; query-round data gathered on device.
+
+Only caps (16x4), openings (~0.5 KB), the FRI final polynomial and the
+28 query rounds' leaves/paths are ever downloaded; the 135 x 2^17 LDE
+matrices and Merkle trees never leave HBM.  Host <-> device round trips
+are bounded by the Fiat-Shamir structure itself (the transcript must
+observe each cap before the next challenge exists).
+
+Reference analog: ProverCircuitData::prove (SURVEY.md §3.1 steps 2-5);
+the witness generators (step 1) stay on host (plonk/witness.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import goldilocks_jax as gj
+from ..ops import merkle as mk
+from ..ops import ntt as ntt_mod
+from ..ops import poseidon_jax as pj
+from ..ops.transcript import Challenger
+from . import fri as fri_mod
+from .proof import (
+    FriInitialProof,
+    FriProof,
+    FriQueryRound,
+    FriQueryStep,
+    Openings,
+    Proof,
+    ProofWithPublicInputs,
+)
+from .vanishing import eval_vanishing_jax
+
+
+@dataclass
+class DeviceTree:
+    """Merkle tree kept on device: leaves (n, w), digest levels
+    (levels[-1] = cap).  Query-time gathers happen on device; only the
+    requested rows are downloaded."""
+
+    leaves: jnp.ndarray
+    levels: list
+    cap: np.ndarray  # host copy (2^h, 4)
+
+    def gather_queries(self, idx: np.ndarray):
+        """(Q,) indices -> (leaves (Q, w), paths (Q, depth, 4)) numpy."""
+        idx_d = jnp.asarray(idx, jnp.int64)
+        rows = gj.to_u64(self.leaves[idx_d])
+        depth = len(self.levels) - 1
+        if depth == 0:
+            return rows, np.zeros((len(idx), 0, 4), dtype=np.uint64)
+        sibs = [
+            self.levels[l][(idx_d >> l) ^ 1] for l in range(depth)
+        ]
+        paths = gj.to_u64(jnp.stack(sibs, axis=1))
+        return rows, paths
+
+    def query_lists(self, idx: np.ndarray):
+        """Per-query (leaf row, sibling list) in proof.py's format."""
+        rows, paths = self.gather_queries(idx)
+        return (
+            [rows[q] for q in range(len(idx))],
+            [[paths[q, d] for d in range(paths.shape[1])] for q in range(len(idx))],
+        )
+
+
+class DeviceProverContext:
+    """Per-circuit device constants + compiled pipeline stages.
+
+    Built lazily on first device prove and cached on the
+    ProverOnlyCircuitData; every subsequent proof of the same circuit
+    reuses the uploaded preprocessed data and the jitted executables.
+    """
+
+    def __init__(self, common, prover_only):
+        self.common = common
+        cfg = common.config
+        fri_cfg = cfg.fri_config
+        N = common.degree
+        lde_size = common.lde_size
+        rate_bits = fri_cfg.rate_bits
+        cap_height = fri_cfg.cap_height
+        num_routed = cfg.num_routed_wires
+
+        # --- uploaded circuit constants ---------------------------------
+        self.pre_lde = gj.from_u64(prover_only.preprocessed_lde)
+        self.pre_coeffs = gj.from_u64(
+            ntt_mod.intt_np(prover_only.preprocessed_values)
+        )
+        pre_tree = prover_only.preprocessed_tree
+        self.pre_tree = DeviceTree(
+            leaves=gj.from_u64(pre_tree.leaves),
+            levels=[gj.from_u64(lv) for lv in pre_tree.levels],
+            cap=pre_tree.cap,
+        )
+        g_pows = ntt_mod.powers(common.subgroup_generator(), N)
+        self.id_enc = gj.from_u64(
+            gl.mul(g_pows[:, None], common.k_is[None, :])
+        )  # (N, 80)
+        self.sigma_enc = gj.from_u64(prover_only.sigma_encodings.T)  # (N, 80)
+
+        coset_points = gl.mul(
+            np.uint64(gl.GENERATOR),
+            ntt_mod.powers(ntt_mod.root_of_unity(common.lde_bits), lde_size),
+        )
+        self.coset_points = gj.from_u64(coset_points)
+        z_h = gl.sub(
+            gl.exp(coset_points[: 1 << rate_bits], N), np.uint64(1)
+        )
+        self.z_h_inv_full = gj.from_u64(
+            np.tile(gl.inverse(z_h), lde_size >> rate_bits)
+        )
+        self.l1 = gj.from_u64(
+            gl.mul(
+                np.tile(z_h, lde_size >> rate_bits),
+                gl.batch_inverse(
+                    gl.mul(np.uint64(N), gl.sub(coset_points, np.uint64(1)))
+                ),
+            )
+        )
+        self.shift_inv_pows = gj.from_u64(
+            ntt_mod.powers(pow(gl.GENERATOR, gl.P - 2, gl.P), lde_size)
+        )
+
+        # --- compiled stages ---------------------------------------------
+        plan = ntt_mod.get_plan(common.degree_bits)
+        lde_plan = ntt_mod.get_plan(common.lde_bits)
+
+        def commit(values, salt):
+            coeffs = plan.intt(values)
+            lde = ntt_mod.coset_lde_jax(coeffs, rate_bits)
+            leaves = lde.T if salt is None else jnp.concatenate(
+                [lde.T, salt], axis=1
+            )
+            levels = mk.build_merkle_levels_jax(leaves, cap_height)
+            return coeffs, lde, leaves, levels
+
+        self._commit_salted = jax.jit(lambda v, s: commit(v, s))
+        self._commit_plain = jax.jit(lambda v: commit(v, None))
+
+        chunk = common.chunk_size
+        n_chunks = common.num_chunks
+        n_pp = common.num_partial_products
+
+        def zs_stage(w_routed, betas, gammas):
+            """(N, 80) routed wires -> (num_zs_pp, N) Z / partial-product
+            columns (prover.py step 3, Hillis-Steele prefix products)."""
+            rows = []
+            for c in range(cfg.num_challenges):
+                beta, gamma = betas[c], gammas[c]
+                nums = gj.add(
+                    gj.add(w_routed, gj.mul(beta, self.id_enc)), gamma
+                )
+                dens = gj.add(
+                    gj.add(w_routed, gj.mul(beta, self.sigma_enc)), gamma
+                )
+                ratios = gj.mul(nums, gj.batch_inverse_axis(dens, axis=1))
+                chunk_prods = []
+                for k in range(n_chunks):
+                    lo, hi = k * chunk, min((k + 1) * chunk, num_routed)
+                    acc = ratios[:, lo]
+                    for j in range(lo + 1, hi):
+                        acc = gj.mul(acc, ratios[:, j])
+                    chunk_prods.append(acc)
+                row_ratio = chunk_prods[0]
+                for k in range(1, n_chunks):
+                    row_ratio = gj.mul(row_ratio, chunk_prods[k])
+                z = gj.prefix_prod_exclusive(row_ratio)
+                rows.append(z)
+                cum = z
+                for k in range(n_pp):
+                    cum = gj.mul(cum, chunk_prods[k])
+                    rows.append(cum)
+            return jnp.stack(rows)
+
+        self._zs_stage = jax.jit(zs_stage)
+
+        n_sel = common.num_selectors
+        n_const = cfg.num_constants
+        rate = 1 << rate_bits
+        deg_cap = cfg.max_quotient_degree_factor * N
+
+        self.k_is_dev = gj.from_u64(common.k_is)
+
+        def quotient_stage(wires_lde, zs_lde, pi_hash, betas, gammas, alphas):
+            zs_at, zs_right, partials_at = [], [], []
+            for c in range(cfg.num_challenges):
+                base = c * (1 + n_pp)
+                zs_at.append(zs_lde[base])
+                zs_right.append(jnp.roll(zs_lde[base], -rate))
+                partials_at.append(
+                    [zs_lde[base + 1 + k] for k in range(n_pp)]
+                )
+            vanishing = eval_vanishing_jax(
+                common,
+                self.coset_points,
+                wires_lde,
+                self.pre_lde[:n_sel],
+                self.pre_lde[n_sel : n_sel + n_const],
+                self.pre_lde[n_sel + n_const :],
+                zs_at,
+                zs_right,
+                partials_at,
+                pi_hash,
+                betas,
+                gammas,
+                alphas,
+                self.l1,
+                self.k_is_dev,
+            )
+            q_rows = []
+            tail_ok = jnp.bool_(True)
+            for c in range(cfg.num_challenges):
+                qv = gj.mul(vanishing[c], self.z_h_inv_full)
+                q_coeffs = gj.mul(lde_plan.intt(qv), self.shift_inv_pows)
+                tail_ok = jnp.logical_and(
+                    tail_ok, (q_coeffs[deg_cap - N :] == 0).all()
+                )
+                for t in range(cfg.max_quotient_degree_factor):
+                    q_rows.append(q_coeffs[t * N : (t + 1) * N])
+            quotient_coeffs = jnp.stack(q_rows)
+            quotient_lde = ntt_mod.coset_lde_jax(quotient_coeffs, rate_bits)
+            return quotient_coeffs, quotient_lde, tail_ok
+
+        self._quotient_stage = jax.jit(quotient_stage)
+
+        def eval_polys_ext(coeffs, pows):
+            c0 = gj.sum_mod(gj.mul(coeffs, pows[None, :, 0]), axis=1)
+            c1 = gj.sum_mod(gj.mul(coeffs, pows[None, :, 1]), axis=1)
+            return jnp.stack([c0, c1], axis=-1)
+
+        def openings_stage(wires_coeffs, zs_coeffs, quotient_coeffs,
+                           zeta, zeta_right):
+            pows = gj.ext_powers(zeta, N)
+            pows_r = gj.ext_powers(zeta_right, N)
+            return (
+                eval_polys_ext(self.pre_coeffs, pows),
+                eval_polys_ext(wires_coeffs, pows),
+                eval_polys_ext(zs_coeffs, pows),
+                eval_polys_ext(quotient_coeffs, pows),
+                eval_polys_ext(zs_coeffs, pows_r),
+            )
+
+        self._openings_stage = jax.jit(openings_stage)
+
+        def fri_input_one(lde_rows, apows, reduced_claim, z):
+            """alpha-combined (F(x) - F(z)) / (x - z) over the coset."""
+            comb0 = gj.sum_mod(gj.mul(lde_rows, apows[:, 0:1]), axis=0)
+            comb1 = gj.sum_mod(gj.mul(lde_rows, apows[:, 1:2]), axis=0)
+            comb = jnp.stack([comb0, comb1], axis=-1)
+            num = gj.ext_sub(
+                comb, jnp.broadcast_to(reduced_claim, comb.shape)
+            )
+            den = jnp.stack(
+                [
+                    gj.sub(self.coset_points, z[0]),
+                    jnp.broadcast_to(gj.neg(z[1]), (lde_size,)),
+                ],
+                axis=-1,
+            )
+            return gj.ext_mul(num, gj.ext_inverse_vec(den))
+
+        def fri_input_stage(wires_lde, zs_lde, quotient_lde,
+                            apows_all, claim_all, zeta,
+                            apows_zs, claim_zs, zeta_right):
+            all_lde = jnp.concatenate(
+                [self.pre_lde, wires_lde, zs_lde, quotient_lde], axis=0
+            )
+            G = fri_input_one(all_lde, apows_all, claim_all, zeta)
+            G2 = fri_input_one(zs_lde, apows_zs, claim_zs, zeta_right)
+            return gj.ext_add(G, G2)
+
+        self._fri_input_stage = jax.jit(fri_input_stage)
+
+        # per-(M, arity) FRI layer executables, built lazily
+        self._fri_layer_fns: dict = {}
+        self._pow_grind_fn = None
+
+    # -- FRI layers ----------------------------------------------------------
+
+    def _fri_layer(self, M: int, arity_bits: int, shift: int, cap_h: int):
+        """Compiled (commit_leaves, fold) pair for one FRI layer shape."""
+        key = (M, arity_bits, shift)
+        if key in self._fri_layer_fns:
+            return self._fri_layer_fns[key]
+        A = 1 << arity_bits
+        W = gj.from_u64(fri_mod._fold_matrices(arity_bits))  # (A, A)
+        w_M = ntt_mod.root_of_unity(M.bit_length() - 1)
+        s_j_inv = gj.from_u64(
+            gl.mul(
+                np.uint64(pow(shift, gl.P - 2, gl.P)),
+                ntt_mod.powers(pow(w_M, gl.P - 2, gl.P), M // A),
+            )
+        )
+
+        def group(values):
+            # (M, 2) -> (M/A, A, 2): points sharing x^A (stride M/A)
+            return jnp.moveaxis(values.reshape(A, M // A, 2), 0, 1)
+
+        def commit_layer(values):
+            leaves = group(values).reshape(M // A, 2 * A)
+            levels = mk.build_merkle_levels_jax(leaves, cap_h)
+            return leaves, levels
+
+        def fold_layer(values, beta):
+            groups = group(values)  # (M/A, A, 2)
+            c = gj.zeros((M // A, A, 2))
+            for k in range(A):
+                c = gj.add(
+                    c, gj.mul(groups[:, k, None, :], W[k][None, :, None])
+                )
+            t_pows = []
+            acc = jnp.ones(M // A, jnp.uint64)
+            for t in range(A):
+                t_pows.append(acc)
+                acc = gj.mul(acc, s_j_inv)
+            c = gj.mul(c, jnp.stack(t_pows, axis=1)[..., None])
+            out = gj.zeros((M // A, 2))
+            for t in reversed(range(A)):
+                out = gj.ext_add(
+                    gj.ext_mul(out, jnp.broadcast_to(beta, (M // A, 2))),
+                    c[:, t],
+                )
+            return out
+
+        fns = (jax.jit(commit_layer), jax.jit(fold_layer))
+        self._fri_layer_fns[key] = fns
+        return fns
+
+    def grind_pow(self, challenger: Challenger, bits: int) -> int:
+        """Device PoW grind: batched candidate permutations, first hit
+        (identical result to fri.grind_pow)."""
+        if self._pow_grind_fn is None:
+
+            def grind(state, pending, n_pending, start):
+                B = 1 << 17
+                cands = start + jnp.arange(B, dtype=jnp.uint64)
+                states = jnp.tile(state, (B, 1))
+                # overwrite rate lanes with pending observations
+                lane = jnp.arange(12, dtype=jnp.int32)
+                states = jnp.where(
+                    lane[None, :] < n_pending, pending[None, :12], states
+                )
+                states = states.at[:, n_pending].set(cands)
+                out = pj.permute(states)
+                ok = (out[:, 7] >> jnp.uint64(64 - bits)) == 0
+                first = jnp.argmax(ok)
+                return jnp.any(ok), cands[first]
+
+            self._pow_grind_fn = jax.jit(grind)
+
+        state = jnp.asarray(challenger.state)
+        pending_list = list(challenger.input_buf)
+        pending = np.zeros(12, dtype=np.uint64)
+        pending[: len(pending_list)] = np.array(
+            pending_list or [], dtype=np.uint64
+        )
+        pending = jnp.asarray(pending)
+        n_pending = len(pending_list)
+        start = 0
+        while True:
+            hit, cand = self._pow_grind_fn(
+                state, pending, n_pending, np.uint64(start)
+            )
+            if bool(hit):
+                found = int(cand)
+                break
+            start += 1 << 17
+        challenger.observe_element(found)
+        check = int(challenger.get_challenge())
+        assert check >> (64 - bits) == 0, "PoW self-check failed"
+        return found
+
+
+def get_context(common, prover_only) -> DeviceProverContext:
+    ctx = getattr(prover_only, "_device_ctx", None)
+    if ctx is None:
+        ctx = DeviceProverContext(common, prover_only)
+        prover_only._device_ctx = ctx
+    return ctx
+
+
+def device_prove(common, prover_only, wire_matrix, public_inputs,
+                 pi_hash, fresh_salt, timer) -> ProofWithPublicInputs:
+    """Steps 2-5 of the prove pipeline, device-resident.  Called by
+    plonk.prover.prove with the host-generated witness."""
+    cfg = common.config
+    fri_cfg = cfg.fri_config
+    N = common.degree
+    lde_size = common.lde_size
+    cap_height = fri_cfg.cap_height
+    ctx = get_context(common, prover_only)
+
+    def dev_tree(leaves, levels):
+        return DeviceTree(
+            leaves=leaves, levels=levels, cap=gj.to_u64(levels[-1])
+        )
+
+    def commit(values_dev):
+        salt = fresh_salt(lde_size)
+        if salt is None:
+            coeffs, lde, leaves, levels = ctx._commit_plain(values_dev)
+        else:
+            coeffs, lde, leaves, levels = ctx._commit_salted(
+                values_dev, gj.from_u64(salt)
+            )
+        return coeffs, lde, dev_tree(leaves, levels)
+
+    # 2. commit wires ---------------------------------------------------------
+    wire_matrix_dev = gj.from_u64(wire_matrix)  # (N, 135)
+    wires_coeffs, wires_lde, wires_tree = commit(wire_matrix_dev.T)
+    timer.mark("wires LDE+commit (device)")
+
+    challenger = Challenger()
+    challenger.observe_elements(common.circuit_digest)
+    challenger.observe_elements(pi_hash)
+    challenger.observe_cap(wires_tree.cap)
+    betas = challenger.get_n_challenges(cfg.num_challenges)
+    gammas = challenger.get_n_challenges(cfg.num_challenges)
+
+    # 3. permutation argument -------------------------------------------------
+    zs_pp = ctx._zs_stage(
+        wire_matrix_dev[:, : cfg.num_routed_wires],
+        jnp.asarray(betas),
+        jnp.asarray(gammas),
+    )
+    zs_coeffs, zs_lde, zs_tree = commit(zs_pp)
+    timer.mark("permutation Zs+commit (device)")
+    challenger.observe_cap(zs_tree.cap)
+    alphas = challenger.get_n_challenges(cfg.num_challenges)
+
+    # 4. quotient ---------------------------------------------------------------
+    quotient_coeffs, quotient_lde, tail_ok = ctx._quotient_stage(
+        wires_lde,
+        zs_lde,
+        jnp.asarray(pi_hash),
+        jnp.asarray(betas),
+        jnp.asarray(gammas),
+        jnp.asarray(alphas),
+    )
+    if not bool(tail_ok):
+        raise ValueError(
+            "constraints unsatisfied: quotient degree overflow "
+            "(witness does not satisfy the circuit)"
+        )
+    salt_q = fresh_salt(lde_size)
+    if salt_q is None:
+        q_leaves = quotient_lde.T
+    else:
+        q_leaves = jnp.concatenate(
+            [quotient_lde.T, gj.from_u64(salt_q)], axis=1
+        )
+    quotient_tree = dev_tree(
+        q_leaves, mk.build_merkle_levels_jax(q_leaves, cap_height)
+    )
+    timer.mark("quotient eval+commit (device)")
+    challenger.observe_cap(quotient_tree.cap)
+    zeta = challenger.get_extension_challenge()
+
+    # 5. openings ----------------------------------------------------------------
+    g = np.uint64(common.subgroup_generator())
+    zeta_right = gl.ext_mul(zeta, gl.ext(g, np.uint64(0)))
+    opened = ctx._openings_stage(
+        wires_coeffs,
+        zs_coeffs,
+        quotient_coeffs,
+        jnp.asarray(zeta),
+        jnp.asarray(zeta_right),
+    )
+    openings = Openings(
+        preprocessed=gj.to_u64(opened[0]),
+        wires=gj.to_u64(opened[1]),
+        zs_partial=gj.to_u64(opened[2]),
+        quotient=gj.to_u64(opened[3]),
+        zs_partial_right=gj.to_u64(opened[4]),
+    )
+    timer.mark("openings (device)")
+    for _tag, vals in openings.batches():
+        challenger.observe_elements(vals.ravel())
+    fri_alpha = challenger.get_extension_challenge()
+
+    # FRI input polynomial ---------------------------------------------------------
+    zeta_claims = np.concatenate(
+        [
+            openings.preprocessed,
+            openings.wires,
+            openings.zs_partial,
+            openings.quotient,
+        ]
+    )
+    S_all = zeta_claims.shape[0]
+    S_zs = openings.zs_partial_right.shape[0]
+    apows_all = gl.ext_powers_vec(fri_alpha, S_all)
+    apows_zs = gl.ext_powers_vec(fri_alpha, S_zs)
+
+    def reduce_claims(claims):
+        rc = np.zeros(2, dtype=np.uint64)
+        for i in range(claims.shape[0] - 1, -1, -1):
+            rc = gl.ext_mul(rc, fri_alpha)
+            rc = gl.ext_add(rc, claims[i])
+        return rc
+
+    G = ctx._fri_input_stage(
+        wires_lde,
+        zs_lde,
+        quotient_lde,
+        gj.from_u64(apows_all),
+        gj.from_u64(reduce_claims(zeta_claims)),
+        gj.from_u64(zeta),
+        gj.from_u64(apows_zs),
+        gj.from_u64(reduce_claims(openings.zs_partial_right)),
+        gj.from_u64(zeta_right),
+    )
+    timer.mark("FRI input poly (device)")
+
+    # FRI commit phase ----------------------------------------------------------
+    arities = fri_cfg.reduction_arity_bits(common.degree_bits)
+    shift = gl.GENERATOR
+    values = G
+    layer_trees, layer_values, betas_fri = [], [], []
+    for ab in arities:
+        A = 1 << ab
+        M = values.shape[0]
+        cap_h = fri_mod._layer_cap_height(fri_cfg, M // A)
+        commit_layer, fold_layer = ctx._fri_layer(M, ab, shift, cap_h)
+        leaves, levels = commit_layer(values)
+        tree = dev_tree(leaves, levels)
+        challenger.observe_cap(tree.cap)
+        beta = challenger.get_extension_challenge()
+        layer_trees.append(tree)
+        layer_values.append(values)
+        betas_fri.append(beta)
+        values = fold_layer(values, gj.from_u64(beta))
+        shift = pow(shift, A, gl.P)
+    final_values = gj.to_u64(values)
+    M = final_values.shape[0]
+    coeffs = ntt_mod.intt_np(final_values.T).T
+    s_inv_pows = ntt_mod.powers(pow(shift, gl.P - 2, gl.P), M)
+    coeffs = gl.mul(coeffs, s_inv_pows[:, None])
+    final_len = 1 << max(0, common.degree_bits - sum(arities))
+    assert (coeffs[final_len:] == 0).all(), "FRI final poly degree too high"
+    final_poly = coeffs[:final_len]
+    challenger.observe_elements(final_poly.ravel())
+    pow_witness = ctx.grind_pow(challenger, fri_cfg.proof_of_work_bits)
+    timer.mark("FRI commit+PoW (device)")
+
+    # query rounds ---------------------------------------------------------------
+    indices = challenger.get_indices(fri_cfg.num_query_rounds, common.lde_bits)
+    idx = np.array(indices, dtype=np.int64)
+    Q = len(indices)
+    oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
+    oracle_data = [t.query_lists(idx) for t in oracles]
+    step_data = []
+    j = idx
+    for t, ab in enumerate(arities):
+        A = 1 << ab
+        M = layer_values[t].shape[0]
+        jg = j % (M // A)
+        # grouped leaf: values.reshape(A, M/A, 2)[:, jg] -> (Q, A, 2)
+        grouped = jnp.moveaxis(
+            layer_values[t].reshape(A, M // A, 2), 0, 1
+        )
+        leaf_rows = gj.to_u64(grouped[jnp.asarray(jg)])
+        _, paths = layer_trees[t].gather_queries(jg)
+        step_data.append((leaf_rows, paths))
+        j = jg
+    rounds = []
+    for q in range(Q):
+        leaves_q = [oracle_data[o][0][q] for o in range(len(oracles))]
+        paths_q = [oracle_data[o][1][q] for o in range(len(oracles))]
+        steps = []
+        for t in range(len(arities)):
+            leaf_rows, paths = step_data[t]
+            steps.append(
+                FriQueryStep(
+                    leaf=leaf_rows[q],
+                    path=[paths[q, d] for d in range(paths.shape[1])],
+                )
+            )
+        rounds.append(
+            FriQueryRound(
+                initial=FriInitialProof(leaves=leaves_q, paths=paths_q),
+                steps=steps,
+            )
+        )
+    timer.mark("FRI queries (device gathers)")
+
+    proof = Proof(
+        wires_cap=wires_tree.cap,
+        zs_partial_cap=zs_tree.cap,
+        quotient_cap=quotient_tree.cap,
+        openings=openings,
+        fri=FriProof(
+            commit_phase_caps=[t.cap for t in layer_trees],
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_rounds=rounds,
+        ),
+    )
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)

@@ -179,6 +179,20 @@ class ArithmeticGate(Gate):
             out.append(alg.sub(computed, o))
         return out
 
+    def eval_constraints_jax(self, wires_mat, const_mat, pi_hash):
+        """Stacked device evaluation: (num_cons, M) rows in the same
+        order as eval_constraints (keeps jit traces small)."""
+        from ..ops import goldilocks_jax as gj
+
+        idx = np.array(
+            [self.wires_op(i) for i in range(self.num_ops)], dtype=np.int64
+        )
+        m0, m1, a, o = (wires_mat[idx[:, k]] for k in range(4))
+        c0, c1 = const_mat[0][None, :], const_mat[1][None, :]
+        return gj.sub(
+            gj.add(gj.mul(c0, gj.mul(m0, m1)), gj.mul(c1, a)), o
+        )
+
 
 @dataclass(frozen=True)
 class PoseidonGate(Gate):
@@ -285,6 +299,85 @@ class PoseidonGate(Gate):
         )
         return cons
 
+    def eval_constraints_jax(self, wires_mat, const_mat, pi_hash):
+        """Stacked device evaluation, (123, M) rows in eval_constraints
+        order.  The MDS layer runs as one small-int accumulation over a
+        (12, M) state matrix (poseidon_jax._mds transposed) instead of
+        144 scalar ops — keeps the jit trace ~500 eqns instead of ~100k."""
+        import jax.numpy as jnp
+
+        from ..ops import goldilocks_jax as gj
+
+        W = self.WIDTH
+        RC = pos._RC
+        MDS = jnp.asarray(pos.MDS_MATRIX)  # (12, 12) small ints
+        _M32 = jnp.uint64(0xFFFFFFFF)
+        _32 = jnp.uint64(32)
+
+        def mds(st):  # (12, M) -> (12, M)
+            lo = jnp.sum(MDS[:, :, None] * (st & _M32)[None, :, :], axis=1)
+            hi = jnp.sum(MDS[:, :, None] * (st >> _32)[None, :, :], axis=1)
+            lo64 = lo + (hi << _32)
+            carry = (lo64 < lo).astype(jnp.uint64)
+            hi64 = (hi >> _32) + carry
+            return gj.reduce128(lo64, hi64)
+
+        def x7(x):
+            x2 = gj.mul(x, x)
+            x3 = gj.mul(x2, x)
+            return gj.mul(gj.mul(x2, x2), x3)
+
+        rows = []
+        swap = wires_mat[self.WIRE_SWAP]
+        rows.append(gj.sub(gj.mul(swap, swap), swap))
+        ins = wires_mat[: W]  # wire_in(i) == i
+        deltas = wires_mat[
+            np.arange(self.wire_delta(0), self.wire_delta(0) + 4)
+        ]
+        want = gj.mul(swap[None, :], gj.sub(ins[4:8], ins[:4]))
+        d_cons = gj.sub(deltas, want)
+        rows.extend(d_cons[i] for i in range(4))
+        state = jnp.concatenate(
+            [gj.add(ins[:4], deltas), gj.sub(ins[4:8], deltas), ins[8:W]]
+        )
+
+        def rc(r):
+            return jnp.asarray(RC[r])[:, None]
+
+        pre = gj.add(state, rc(0))
+        state = mds(x7(pre))
+        for r in range(1, 4):
+            pre = gj.add(state, rc(r))
+            stored = wires_mat[
+                np.array([self.wire_full0(r, i) for i in range(W)])
+            ]
+            sc = gj.sub(stored, pre)
+            rows.extend(sc[i] for i in range(W))
+            state = mds(x7(stored))
+        for pr in range(pos.N_PARTIAL_ROUNDS):
+            r = 4 + pr
+            pre = gj.add(state, rc(r))
+            stored = wires_mat[self.wire_partial(pr)]
+            rows.append(gj.sub(stored, pre[0]))
+            state = mds(
+                jnp.concatenate([x7(stored)[None, :], pre[1:]])
+            )
+        for r in range(4):
+            rr = 4 + pos.N_PARTIAL_ROUNDS + r
+            pre = gj.add(state, rc(rr))
+            stored = wires_mat[
+                np.array([self.wire_full1(r, i) for i in range(W)])
+            ]
+            sc = gj.sub(stored, pre)
+            rows.extend(sc[i] for i in range(W))
+            state = mds(x7(stored))
+        outs = wires_mat[
+            np.array([self.wire_out(i) for i in range(W)])
+        ]
+        oc = gj.sub(outs, state)
+        rows.extend(oc[i] for i in range(W))
+        return jnp.stack(rows)
+
 
 @dataclass(frozen=True)
 class BitDecompGate(Gate):
@@ -316,6 +409,32 @@ class BitDecompGate(Gate):
                 acc = alg.add(alg.add(acc, acc), bit)
             cons.append(alg.sub(acc, v))
         return cons
+
+    def eval_constraints_jax(self, wires_mat, const_mat, pi_hash):
+        """Stacked device evaluation: (num_ops*(bits+1), M) rows in
+        eval_constraints order (per op: bool checks MSB-first, then the
+        recomposition check)."""
+        import jax.numpy as jnp
+
+        from ..ops import goldilocks_jax as gj
+
+        v_idx = np.array(
+            [self.wires_op(i)[0] for i in range(self.num_ops)]
+        )
+        bit_idx = np.array(
+            [self.wires_op(i)[1] for i in range(self.num_ops)]
+        )  # (ops, bits) little-endian
+        v = wires_mat[v_idx]  # (ops, M)
+        bits = wires_mat[bit_idx.ravel()].reshape(
+            self.num_ops, self.bits, -1
+        )  # (ops, bits, M)
+        boolcons = gj.sub(gj.mul(bits, bits), bits)[:, ::-1, :]  # MSB-first
+        acc = jnp.zeros_like(v)
+        for b in reversed(range(self.bits)):
+            acc = gj.add(gj.add(acc, acc), bits[:, b, :])
+        sumcons = gj.sub(acc, v)[:, None, :]
+        rows = jnp.concatenate([boolcons, sumcons], axis=1)
+        return rows.reshape(self.num_ops * (self.bits + 1), -1)
 
 
 @dataclass(frozen=True)

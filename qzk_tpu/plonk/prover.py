@@ -42,6 +42,25 @@ USE_DEVICE = os.environ.get("QZK_HOST_ONLY") != "1"
 TIMING = os.environ.get("QZK_TIMING") == "1"
 
 
+def _device_pipeline_wanted(n: int) -> bool:
+    """Use the fully device-resident pipeline (device_prover.py)?
+
+    Default: yes on an accelerator backend for circuits big enough to
+    amortize dispatch (the wormhole/voting row counts).  QZK_DEVICE_PIPELINE
+    =1/0 forces it on/off (tests force it on under the CPU backend to
+    check bit-exactness against the host path)."""
+    flag = os.environ.get("QZK_DEVICE_PIPELINE")
+    if flag == "1":
+        return True
+    if flag == "0" or not USE_DEVICE:
+        return False
+    if n < (1 << 12):
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 class _PhaseTimer:
     """Env-gated (QZK_TIMING=1) wall-clock per prove phase, for the
     profiling harness (SURVEY.md §5: the reference has no tracing; we
@@ -159,6 +178,14 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         if not cfg.zero_knowledge:
             return None
         return rng.integers(0, gl.P, size=(n_leaves, 4), dtype=np.uint64)
+
+    if _device_pipeline_wanted(N):
+        from .device_prover import device_prove
+
+        return device_prove(
+            common, prover_only, wire_matrix, public_inputs, pi_hash,
+            fresh_salt, _t,
+        )
 
     # 2. commit wires -------------------------------------------------------
     wires_values = np.ascontiguousarray(wire_matrix.T)  # (135, N)

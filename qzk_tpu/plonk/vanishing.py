@@ -85,3 +85,85 @@ def eval_vanishing(
             acc = alg.add(alg.mul(acc, alpha), t)
         out.append(acc)
     return out
+
+
+def eval_vanishing_jax(
+    common,
+    x,  # (M,) coset points, device
+    wires_mat,  # (135, M)
+    sel_mat,  # (n_sel, M)
+    const_mat,  # (n_const, M)
+    sigma_mat,  # (80, M)
+    zs_at,  # list per challenge, (M,)
+    zs_right,
+    partials_at,
+    pi_hash,  # (4,) device
+    betas,  # (num_challenges,) device
+    gammas,
+    alphas,
+    l1,  # (M,)
+    k_is,  # (80,) device
+):
+    """Stacked device twin of eval_vanishing: identical term order and
+    field semantics, but constraints evaluate as (n_cons, M) matrices
+    (gates with eval_constraints_jax) and the alpha combination is a
+    powers-dot instead of a Horner chain, so the jit trace stays small.
+    Bit-exact against the numpy path (tests/test_device_prover.py)."""
+    import jax.numpy as jnp
+
+    from ..ops import goldilocks_jax as gj
+    from .gates import JaxAlgebra
+
+    cfg = common.config
+    alg = JaxAlgebra()
+    pi_list = [pi_hash[i] for i in range(4)]
+    gate_stacks = []
+    for s, gate in enumerate(common.gates):
+        if hasattr(gate, "eval_constraints_jax"):
+            cons = gate.eval_constraints_jax(wires_mat, const_mat, pi_list)
+        else:
+            rows = gate.eval_constraints(alg, wires_mat, const_mat, pi_list)
+            if not rows:
+                continue
+            cons = jnp.stack(
+                [jnp.broadcast_to(r, x.shape) for r in rows]
+            )
+        gate_stacks.append(gj.mul(sel_mat[s][None, :], cons))
+    gate_terms = jnp.concatenate(gate_stacks) if gate_stacks else None
+
+    num_routed = cfg.num_routed_wires
+    chunk = common.chunk_size
+    w_routed = wires_mat[:num_routed]
+    kx = gj.mul(k_is[:, None], x[None, :])  # (80, M)
+    one = jnp.uint64(1)
+    out = []
+    for c in range(cfg.num_challenges):
+        beta, gamma = betas[c], gammas[c]
+        nums = gj.add(gj.add(w_routed, gj.mul(beta, kx)), gamma)
+        dens = gj.add(gj.add(w_routed, gj.mul(beta, sigma_mat)), gamma)
+        rhos = [zs_at[c]] + list(partials_at[c]) + [zs_right[c]]
+        perm_terms = []
+        for k in range(common.num_chunks):
+            lo = k * chunk
+            hi = min(lo + chunk, num_routed)
+            num_prod = nums[lo]
+            den_prod = dens[lo]
+            for j in range(lo + 1, hi):
+                num_prod = gj.mul(num_prod, nums[j])
+                den_prod = gj.mul(den_prod, dens[j])
+            perm_terms.append(
+                gj.sub(
+                    gj.mul(rhos[k + 1], den_prod),
+                    gj.mul(rhos[k], num_prod),
+                )
+            )
+        l1_term = gj.mul(l1, gj.sub(zs_at[c], one))
+        tail = jnp.stack(perm_terms + [l1_term])
+        terms = (
+            jnp.concatenate([gate_terms, tail])
+            if gate_terms is not None
+            else tail
+        )
+        apows = gj.powers_vec(alphas[c], terms.shape[0])
+        out.append(gj.sum_mod(gj.mul(terms, apows[:, None]), axis=0))
+    return out
