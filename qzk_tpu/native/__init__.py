@@ -1,0 +1,146 @@
+"""Native (C++) host-side kernels, loaded via ctypes.
+
+The shared object is built lazily from poseidon_native.cc with g++ -O3
+and cached next to the source (rebuilt when the source changes).  All
+entry points fall back to the numpy implementations when the toolchain
+is unavailable, so the package stays importable everywhere.
+
+Why native: witness generation runs inherently sequential hash-chain
+levels (Merkle paths, sponge absorption) in ~500 small batches — numpy
+per-call overhead dominates there, while C++ computes each 64x64->128
+modular product in two instructions.  The bulk (data-parallel) prover
+work stays on the TPU (plonk/device_prover.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "poseidon_native.cc")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build_and_load():
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_poseidon_native_{tag}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", tmp, _SRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u64 = ctypes.c_uint64
+    lib.gl_mul.argtypes = [u64p, u64p, u64p, ctypes.c_long]
+    lib.gl_add.argtypes = [u64p, u64p, u64p, ctypes.c_long]
+    lib.gl_sub.argtypes = [u64p, u64p, u64p, ctypes.c_long]
+    lib.gl_mul_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
+    lib.gl_add_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
+    lib.gl_sub_as.argtypes = [u64p, u64, u64p, ctypes.c_long]
+    lib.gl_sub_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
+    lib.poseidon_permute.argtypes = [
+        u64p, ctypes.c_long, u64p, u64p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.poseidon_trace.argtypes = [
+        u64p, u64p, ctypes.c_long, u64p, u64p, ctypes.c_int,
+        ctypes.c_int, u64p, u64p, u64p,
+    ]
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None if the build failed."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _lock:
+        if not _tried:
+            if os.environ.get("QZK_NO_NATIVE") == "1":
+                _lib = None
+            else:
+                try:
+                    _lib = _build_and_load()
+                except Exception:
+                    _lib = None
+            _tried = True
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def poseidon_permute_batch(states: np.ndarray) -> np.ndarray:
+    """(B, 12) uint64 -> permuted copy, or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops import poseidon as pos
+
+    out = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    lib.poseidon_permute(
+        _ptr(out), out.shape[0], _ptr(_mds()), _ptr(_rc()),
+        pos.HALF_FULL, pos.N_PARTIAL_ROUNDS,
+    )
+    return out
+
+
+_mds_cache = None
+_rc_cache = None
+
+
+def _mds():
+    global _mds_cache
+    if _mds_cache is None:
+        from ..ops import poseidon as pos
+
+        _mds_cache = np.ascontiguousarray(pos.MDS_MATRIX, dtype=np.uint64)
+    return _mds_cache
+
+
+def _rc():
+    global _rc_cache
+    if _rc_cache is None:
+        from ..ops import poseidon as pos
+
+        _rc_cache = np.ascontiguousarray(pos._RC, dtype=np.uint64)
+    return _rc_cache
+
+
+def poseidon_trace_batch(inputs: np.ndarray, swap: np.ndarray):
+    """(B, 12) inputs + (B,) swap -> (deltas (B,4), stored (B,106),
+    outputs (B,12)), or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops import poseidon as pos
+
+    B = inputs.shape[0]
+    inputs = np.ascontiguousarray(inputs, dtype=np.uint64)
+    swap = np.ascontiguousarray(swap, dtype=np.uint64)
+    stored_w = (pos.HALF_FULL - 1) * 12 + pos.N_PARTIAL_ROUNDS + pos.HALF_FULL * 12
+    deltas = np.empty((B, 4), dtype=np.uint64)
+    stored = np.empty((B, stored_w), dtype=np.uint64)
+    outputs = np.empty((B, 12), dtype=np.uint64)
+    lib.poseidon_trace(
+        _ptr(inputs), _ptr(swap), B, _ptr(_mds()), _ptr(_rc()),
+        pos.HALF_FULL, pos.N_PARTIAL_ROUNDS,
+        _ptr(deltas), _ptr(stored), _ptr(outputs),
+    )
+    return deltas, stored, outputs

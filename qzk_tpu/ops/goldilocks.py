@@ -40,10 +40,73 @@ def _as_u64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint64)
 
 
+# -- native (C++) fast paths --------------------------------------------------
+# Same-shape / scalar-broadcast mul/add/sub dispatch to the C library
+# (qzk_tpu/native): one 64x64->128 hardware product per element instead
+# of numpy's ~15 vector passes.  Bit-exact (tests/test_field.py runs
+# both); falls back to pure numpy when the toolchain is unavailable.
+
+_native_lib = None
+_native_checked = False
+
+
+def _nlib():
+    global _native_lib, _native_checked
+    if not _native_checked:
+        try:
+            from ..native import get_lib
+
+            _native_lib = get_lib()
+        except Exception:
+            _native_lib = None
+        _native_checked = True
+    return _native_lib
+
+
+def _native_binop(a, b, ew, sa, as_=None):
+    """Try the native elementwise/scalar kernels; None if not applicable."""
+    lib = _nlib()
+    if lib is None:
+        return None
+    import ctypes
+
+    p = ctypes.POINTER(ctypes.c_uint64)
+    if (
+        a.shape == b.shape
+        and a.ndim
+        and a.flags.c_contiguous
+        and b.flags.c_contiguous
+    ):
+        out = np.empty_like(a)
+        getattr(lib, ew)(
+            a.ctypes.data_as(p), b.ctypes.data_as(p),
+            out.ctypes.data_as(p), a.size,
+        )
+        return out
+    if a.ndim == 0 and b.ndim and b.flags.c_contiguous and sa:
+        out = np.empty_like(b)
+        getattr(lib, sa)(
+            int(a), b.ctypes.data_as(p), out.ctypes.data_as(p), b.size
+        )
+        return out
+    if b.ndim == 0 and a.ndim and a.flags.c_contiguous and as_:
+        out = np.empty_like(a)
+        getattr(lib, as_)(
+            a.ctypes.data_as(p), int(b), out.ctypes.data_as(p), a.size
+        )
+        return out
+    return None
+
+
 def add(a, b) -> np.ndarray:
     """(a + b) mod p for canonical a, b."""
     a = _as_u64(a)
     b = _as_u64(b)
+    if b.ndim == 0 and a.ndim:
+        a, b = b, a  # commutative: scalar first
+    out = _native_binop(a, b, "gl_add", "gl_add_sa")
+    if out is not None:
+        return out
     with np.errstate(over="ignore"):
         s = a + b
         carry = s < a
@@ -56,6 +119,9 @@ def sub(a, b) -> np.ndarray:
     """(a - b) mod p for canonical a, b."""
     a = _as_u64(a)
     b = _as_u64(b)
+    out = _native_binop(a, b, "gl_sub", "gl_sub_sa", "gl_sub_as")
+    if out is not None:
+        return out
     with np.errstate(over="ignore"):
         d = a - b
         borrow = a < b
@@ -121,6 +187,13 @@ def reduce128(lo, hi) -> np.ndarray:
 
 def mul(a, b) -> np.ndarray:
     """(a * b) mod p for canonical a, b."""
+    a = _as_u64(a)
+    b = _as_u64(b)
+    if b.ndim == 0 and a.ndim:
+        a, b = b, a  # commutative: scalar first
+    out = _native_binop(a, b, "gl_mul", "gl_mul_sa")
+    if out is not None:
+        return out
     lo, hi = _mul_64_64(a, b)
     return reduce128(lo, hi)
 

@@ -50,6 +50,29 @@ from .proof import (
 from .vanishing import eval_vanishing_jax
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _gather_grouped(values, jg, arity_bits):
+    """FRI layer leaf gather: (M, 2) values -> coset groups at jg,
+    (Q, A, 2)."""
+    A = 1 << arity_bits
+    M = values.shape[0]
+    return jnp.moveaxis(values.reshape(A, M // A, 2), 0, 1)[jg]
+
+
+@jax.jit
+def _gather_tree(leaves, levels, idx):
+    """Fused query gather: leaf rows at idx + sibling paths through all
+    non-cap levels — one dispatch per tree instead of one per level."""
+    rows = leaves[idx]
+    if len(levels) == 0:
+        return rows, jnp.zeros((idx.shape[0], 0, 4), jnp.uint64)
+    sibs = [levels[l][(idx >> l) ^ 1] for l in range(len(levels))]
+    return rows, jnp.stack(sibs, axis=1)
+
+
 @dataclass
 class DeviceTree:
     """Merkle tree kept on device: leaves (n, w), digest levels
@@ -60,25 +83,18 @@ class DeviceTree:
     levels: list
     cap: np.ndarray  # host copy (2^h, 4)
 
-    def gather_queries(self, idx: np.ndarray):
-        """(Q,) indices -> (leaves (Q, w), paths (Q, depth, 4)) numpy."""
-        idx_d = jnp.asarray(idx, jnp.int64)
-        rows = gj.to_u64(self.leaves[idx_d])
-        depth = len(self.levels) - 1
-        if depth == 0:
-            return rows, np.zeros((len(idx), 0, 4), dtype=np.uint64)
-        sibs = [
-            self.levels[l][(idx_d >> l) ^ 1] for l in range(depth)
-        ]
-        paths = gj.to_u64(jnp.stack(sibs, axis=1))
-        return rows, paths
+    def gather_queries_async(self, idx: np.ndarray):
+        """(Q,) indices -> device (leaves (Q, w), paths (Q, depth, 4));
+        download with jax.device_get (batchable across trees)."""
+        return _gather_tree(
+            self.leaves, tuple(self.levels[:-1]), jnp.asarray(idx, jnp.int64)
+        )
 
-    def query_lists(self, idx: np.ndarray):
-        """Per-query (leaf row, sibling list) in proof.py's format."""
-        rows, paths = self.gather_queries(idx)
+    def gather_queries(self, idx: np.ndarray):
+        rows, paths = jax.device_get(self.gather_queries_async(idx))
         return (
-            [rows[q] for q in range(len(idx))],
-            [[paths[q, d] for d in range(paths.shape[1])] for q in range(len(idx))],
+            np.asarray(rows, dtype=np.uint64),
+            np.asarray(paths, dtype=np.uint64),
         )
 
 
@@ -567,32 +583,45 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
     idx = np.array(indices, dtype=np.int64)
     Q = len(indices)
     oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
-    oracle_data = [t.query_lists(idx) for t in oracles]
-    step_data = []
+    # launch every gather, then download the whole pytree in one transfer
+    pending = [t.gather_queries_async(idx) for t in oracles]
+    step_pending = []
     j = idx
     for t, ab in enumerate(arities):
         A = 1 << ab
         M = layer_values[t].shape[0]
         jg = j % (M // A)
-        # grouped leaf: values.reshape(A, M/A, 2)[:, jg] -> (Q, A, 2)
-        grouped = jnp.moveaxis(
-            layer_values[t].reshape(A, M // A, 2), 0, 1
+        step_pending.append(
+            (
+                _gather_grouped(layer_values[t], jnp.asarray(jg), ab),
+                layer_trees[t].gather_queries_async(jg)[1],
+            )
         )
-        leaf_rows = gj.to_u64(grouped[jnp.asarray(jg)])
-        _, paths = layer_trees[t].gather_queries(jg)
-        step_data.append((leaf_rows, paths))
         j = jg
+    oracle_data, step_data = jax.device_get((pending, step_pending))
     rounds = []
     for q in range(Q):
-        leaves_q = [oracle_data[o][0][q] for o in range(len(oracles))]
-        paths_q = [oracle_data[o][1][q] for o in range(len(oracles))]
+        leaves_q = [
+            np.asarray(oracle_data[o][0][q], dtype=np.uint64)
+            for o in range(len(oracles))
+        ]
+        paths_q = [
+            [
+                np.asarray(oracle_data[o][1][q, d], dtype=np.uint64)
+                for d in range(oracle_data[o][1].shape[1])
+            ]
+            for o in range(len(oracles))
+        ]
         steps = []
         for t in range(len(arities)):
             leaf_rows, paths = step_data[t]
             steps.append(
                 FriQueryStep(
-                    leaf=leaf_rows[q],
-                    path=[paths[q, d] for d in range(paths.shape[1])],
+                    leaf=np.asarray(leaf_rows[q], dtype=np.uint64),
+                    path=[
+                        np.asarray(paths[q, d], dtype=np.uint64)
+                        for d in range(paths.shape[1])
+                    ],
                 )
             )
         rounds.append(

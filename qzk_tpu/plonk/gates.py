@@ -485,6 +485,27 @@ def poseidon_trace(inputs: np.ndarray, swap: np.ndarray):
     """
     g = PoseidonGate()
     B = inputs.shape[0]
+
+    from ..native import poseidon_trace_batch
+
+    native = poseidon_trace_batch(inputs, swap)
+    if native is not None:
+        d, stored, outs = native
+        values = {}
+        for i in range(4):
+            values[g.wire_delta(i)] = d[:, i]
+        for r in range(1, 4):
+            for i in range(12):
+                values[g.wire_full0(r, i)] = stored[:, (r - 1) * 12 + i]
+        for pr in range(pos.N_PARTIAL_ROUNDS):
+            values[g.wire_partial(pr)] = stored[:, 36 + pr]
+        for r in range(4):
+            for i in range(12):
+                values[g.wire_full1(r, i)] = stored[
+                    :, 36 + pos.N_PARTIAL_ROUNDS + r * 12 + i
+                ]
+        return values, outs
+
     values: dict[int, np.ndarray] = {}
     deltas = []
     for i in range(4):
