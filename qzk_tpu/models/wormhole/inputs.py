@@ -89,6 +89,59 @@ class PublicCircuitInputs:
 
 
 @dataclass
+class TransferProofJson:
+    """JSON schema for node-fetched storage proofs (parity with
+    /root/reference/common/src/circuit.rs:15-21: transfer_count,
+    state_root, storage_proof, indices).  This is the interchange format
+    the quantus-api-client emits for live-chain transfers (reference
+    e2e fuzz tier, SURVEY.md §4 tier 3)."""
+
+    transfer_count: int
+    state_root: str  # hex (0x-prefixed or bare)
+    storage_proof: list  # list[str], hex-encoded nodes
+    indices: list  # list[int], hex-char offsets of child hashes
+
+    @classmethod
+    def from_json(cls, text: str) -> "TransferProofJson":
+        import json
+
+        d = json.loads(text)
+        return cls(
+            transfer_count=int(d["transfer_count"]),
+            state_root=d["state_root"],
+            storage_proof=list(d["storage_proof"]),
+            indices=[int(i) for i in d["indices"]],
+        )
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "transfer_count": self.transfer_count,
+                "state_root": self.state_root,
+                "storage_proof": list(self.storage_proof),
+                "indices": list(self.indices),
+            }
+        )
+
+    def root_hash_bytes(self) -> bytes:
+        s = self.state_root
+        if s.startswith("0x"):
+            s = s[2:]
+        return bytes.fromhex(s)
+
+    def to_processed(self) -> ProcessedStorageProof:
+        return ProcessedStorageProof(
+            proof=[
+                bytes.fromhex(n[2:] if n.startswith("0x") else n)
+                for n in self.storage_proof
+            ],
+            indices=list(self.indices),
+        )
+
+
+@dataclass
 class PrivateCircuitInputs:
     secret: bytes  # 32 bytes
     storage_proof: ProcessedStorageProof
