@@ -52,7 +52,7 @@ def main():
 
     proof, _warm = run_once()  # compile-warming iteration
     verifier_data.verify(proof)  # sanity: the measured path is correct
-    best = min(run_once()[1] for _ in range(2))
+    best = min(run_once()[1] for _ in range(3))
 
     print(
         json.dumps(

@@ -431,12 +431,12 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         )
 
     def commit(values_dev):
-        salt = fresh_salt(lde_size)
+        salt = fresh_salt(lde_size, device=True)
         if salt is None:
             coeffs, lde, leaves, levels = ctx._commit_plain(values_dev)
         else:
             coeffs, lde, leaves, levels = ctx._commit_salted(
-                values_dev, gj.from_u64(salt)
+                values_dev, salt
             )
         return coeffs, lde, dev_tree(leaves, levels)
 
@@ -477,13 +477,11 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
             "constraints unsatisfied: quotient degree overflow "
             "(witness does not satisfy the circuit)"
         )
-    salt_q = fresh_salt(lde_size)
+    salt_q = fresh_salt(lde_size, device=True)
     if salt_q is None:
         q_leaves = quotient_lde.T
     else:
-        q_leaves = jnp.concatenate(
-            [quotient_lde.T, gj.from_u64(salt_q)], axis=1
-        )
+        q_leaves = jnp.concatenate([quotient_lde.T, salt_q], axis=1)
     quotient_tree = dev_tree(
         q_leaves, mk.build_merkle_levels_jax(q_leaves, cap_height)
     )

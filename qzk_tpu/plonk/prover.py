@@ -155,29 +155,43 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         prover_only.slot_targets
     ]
 
-    rng = None
     if cfg.zero_knowledge:
         # deterministic blinding seed from the witness (the reference pins
-        # `no_random` for reproducible proving — SURVEY.md §2b)
+        # `no_random` for reproducible proving — SURVEY.md §2b).  Blinding
+        # values come from jax's threefry PRNG: backend-deterministic
+        # (identical host/device), generated directly on device in the
+        # device pipeline, masked to 63 bits (< p, full-entropy field
+        # blinding for the zk argument).
         seed = int.from_bytes(
             pos.hash_no_pad(values[: min(len(values), 1024)])
             .astype("<u8")
             .tobytes()[:8],
             "little",
         )
-        rng = np.random.Generator(np.random.Philox(seed))
+        import jax
+
+        _blind_key = jax.random.PRNGKey(seed & 0x7FFFFFFFFFFFFFFF)
+
+        def _blind_bits(shape):
+            nonlocal _blind_key
+            _blind_key, sub = jax.random.split(_blind_key)
+            return jax.random.bits(sub, shape, "uint64") >> np.uint64(1)
+
         n_used = len(prover_only.rows)
         # blind unconstrained padding rows
         free = wire_matrix[n_used:]
         if free.size:
-            wire_matrix[n_used:] = rng.integers(
-                0, gl.P, size=free.shape, dtype=np.uint64
+            wire_matrix[n_used:] = np.asarray(
+                _blind_bits(free.shape), dtype=np.uint64
             )
 
-    def fresh_salt(n_leaves):
+    def fresh_salt(n_leaves, *, device=False):
+        """(n_leaves, 4) blinding salt; stays a device array when the
+        device pipeline asks for it."""
         if not cfg.zero_knowledge:
             return None
-        return rng.integers(0, gl.P, size=(n_leaves, 4), dtype=np.uint64)
+        salt = _blind_bits((n_leaves, 4))
+        return salt if device else np.asarray(salt, dtype=np.uint64)
 
     if _device_pipeline_wanted(N):
         from .device_prover import device_prove
