@@ -61,6 +61,20 @@ def _build_and_load():
         u64p, u64p, ctypes.c_long, u64p, u64p, ctypes.c_int,
         ctypes.c_int, u64p, u64p, u64p,
     ]
+    i64p = ctypes.POINTER(ctypes.c_long)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.run_witness_plan.argtypes = [
+        u64p, u8p,  # values, known
+        i64p, ctypes.c_long,  # batch_table, n_batches
+        i64p, u64p,  # const
+        u64p, u64p, i64p, i64p, i64p, i64p,  # arith
+        i64p, i64p,  # inv
+        i64p, i64p,  # bits
+        i64p, i64p, i64p, i64p,  # poseidon
+        u64p, u64p, ctypes.c_int, ctypes.c_int,  # mds, rc, rounds
+        i64p,  # err_info
+    ]
+    lib.run_witness_plan.restype = ctypes.c_long
     return lib
 
 
@@ -121,6 +135,53 @@ def _rc():
 
         _rc_cache = np.ascontiguousarray(pos._RC, dtype=np.uint64)
     return _rc_cache
+
+
+def run_witness_plan(values, known, native_plan):
+    """Execute a compiled witness plan natively (see
+    plonk/witness.py:_compile_native_plan for the layout).  Returns the
+    error tuple (code, err_info) with code 0 on success, or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    from ..ops import poseidon as pos
+
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    pi64 = ctypes.POINTER(ctypes.c_long)
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    np_ = native_plan
+    err = np.zeros(4, dtype=np.int64)
+    code = lib.run_witness_plan(
+        values.ctypes.data_as(p64),
+        known.ctypes.data_as(p8),
+        np_.batch_table.ctypes.data_as(pi64),
+        np_.batch_table.shape[0],
+        np_.const_ids.ctypes.data_as(pi64),
+        np_.const_vals.ctypes.data_as(p64),
+        np_.arith_c0.ctypes.data_as(p64),
+        np_.arith_c1.ctypes.data_as(p64),
+        np_.arith_m0.ctypes.data_as(pi64),
+        np_.arith_m1.ctypes.data_as(pi64),
+        np_.arith_a.ctypes.data_as(pi64),
+        np_.arith_out.ctypes.data_as(pi64),
+        np_.inv_x.ctypes.data_as(pi64),
+        np_.inv_out.ctypes.data_as(pi64),
+        np_.bits_val.ctypes.data_as(pi64),
+        np_.bits_out.ctypes.data_as(pi64),
+        np_.pos_in.ctypes.data_as(pi64),
+        np_.pos_swap.ctypes.data_as(pi64),
+        np_.pos_internal.ctypes.data_as(pi64),
+        np_.pos_out.ctypes.data_as(pi64),
+        _ptr(_mds()),
+        _ptr(_rc()),
+        pos.HALF_FULL,
+        pos.N_PARTIAL_ROUNDS,
+        err.ctypes.data_as(pi64),
+    )
+    return int(code), err
 
 
 def poseidon_trace_batch(inputs: np.ndarray, swap: np.ndarray):

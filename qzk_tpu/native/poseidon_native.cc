@@ -175,3 +175,214 @@ void poseidon_trace(const u64 *inputs, const u64 *swap, long B,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-plan witness generator executor.
+//
+// Executes every generator batch in one call against the (values,
+// known) arrays.  All target ids are pre-resolved union-find ROOT
+// indices (python side, plan compile time).  Returns 0 on success or an
+// error code with err_info = [code-specific payload]:
+//   1 = target read before set        err_info[0] = root id
+//   2 = set twice with different vals err_info[0] = root id
+//   3 = range check failed            err_info[0] = root id,
+//                                     err_info[1] = value, [2] = nbits
+//
+// batch_table rows (int64 x 6): [kind, start, count, aux0, aux1, aux2]
+//   kind 0 const:    ids = const_ids[start..+count], vals = const_vals
+//   kind 1 arith:    arith_* arrays [start..+count]
+//   kind 2 inv:      inv_x / inv_out [start..+count]
+//   kind 3 bits:     vals = bits_val[start..+count], nbits = aux0,
+//                    bit ids = bits_out[aux1 ..], row-major (count, nbits)
+//   kind 4 poseidon: ins = pos_in[start*12..], swap = pos_swap[start..],
+//                    internal = pos_internal[start*110..] (canonical
+//                    order: deltas | full0 r1..3 | partial | full1),
+//                    outs = pos_out[start*12..]; aux0 = items offset
+//                    (start indexes ITEMS here, not flat felts)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct WitnessCtx {
+  u64 *values;
+  unsigned char *known;
+};
+
+static inline int wread(WitnessCtx &w, long id, u64 *out) {
+  if (!w.known[id]) return 1;
+  *out = w.values[id];
+  return 0;
+}
+
+static inline int wwrite(WitnessCtx &w, long id, u64 v) {
+  if (w.known[id]) {
+    if (w.values[id] != v) return 2;
+    return 0;
+  }
+  w.values[id] = v;
+  w.known[id] = 1;
+  return 0;
+}
+
+} // namespace
+
+extern "C" {
+
+long run_witness_plan(
+    u64 *values, unsigned char *known,
+    const long *batch_table, long n_batches,
+    const long *const_ids, const u64 *const_vals,
+    const u64 *arith_c0, const u64 *arith_c1, const long *arith_m0,
+    const long *arith_m1, const long *arith_a, const long *arith_out,
+    const long *inv_x, const long *inv_out,
+    const long *bits_val, const long *bits_out,
+    const long *pos_in, const long *pos_swap, const long *pos_internal,
+    const long *pos_out,
+    const u64 *mds_m, const u64 *rc, int half_full, int n_partial,
+    long *err_info) {
+  WitnessCtx w{values, known};
+  u64 m[12][12];
+  for (int r = 0; r < 12; ++r)
+    for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
+  long n_internal = (half_full - 1) * 12 + n_partial + half_full * 12 + 4;
+
+  for (long bi = 0; bi < n_batches; ++bi) {
+    const long *row = batch_table + bi * 6;
+    long kind = row[0], start = row[1], count = row[2];
+    switch (kind) {
+    case 0: // const
+      for (long i = 0; i < count; ++i) {
+        long id = const_ids[start + i];
+        if (int rc_ = wwrite(w, id, const_vals[start + i])) {
+          err_info[0] = id;
+          return rc_;
+        }
+      }
+      break;
+    case 1: // arith: out = c0 * m0 * m1 + c1 * a
+      for (long i = 0; i < count; ++i) {
+        long k = start + i;
+        u64 m0, m1, a;
+        if (wread(w, arith_m0[k], &m0)) { err_info[0] = arith_m0[k]; return 1; }
+        if (wread(w, arith_m1[k], &m1)) { err_info[0] = arith_m1[k]; return 1; }
+        if (wread(w, arith_a[k], &a)) { err_info[0] = arith_a[k]; return 1; }
+        u64 v = gadd(gmul(arith_c0[k], gmul(m0, m1)), gmul(arith_c1[k], a));
+        if (int rc_ = wwrite(w, arith_out[k], v)) {
+          err_info[0] = arith_out[k];
+          return rc_;
+        }
+      }
+      break;
+    case 2: // inv_or_zero (Fermat; batches are small)
+      for (long i = 0; i < count; ++i) {
+        long k = start + i;
+        u64 x;
+        if (wread(w, inv_x[k], &x)) { err_info[0] = inv_x[k]; return 1; }
+        u64 v = 0;
+        if (x != 0) { // x^(p-2)
+          u64 result = 1, acc = x;
+          u64 e = P - 2;
+          while (e) {
+            if (e & 1) result = gmul(result, acc);
+            acc = gmul(acc, acc);
+            e >>= 1;
+          }
+          v = result;
+        }
+        if (int rc_ = wwrite(w, inv_out[k], v)) {
+          err_info[0] = inv_out[k];
+          return rc_;
+        }
+      }
+      break;
+    case 3: { // bits: little-endian decomposition + range check
+      long nbits = row[3], bstart = row[4];
+      for (long i = 0; i < count; ++i) {
+        long vid = bits_val[start + i];
+        u64 v;
+        if (wread(w, vid, &v)) { err_info[0] = vid; return 1; }
+        if (nbits < 64 && (v >> nbits) != 0) {
+          err_info[0] = vid;
+          err_info[1] = (long)v;
+          err_info[2] = nbits;
+          return 3;
+        }
+        const long *bids = bits_out + bstart + i * nbits;
+        for (long b = 0; b < nbits; ++b) {
+          if (int rc_ = wwrite(w, bids[b], (v >> b) & 1)) {
+            err_info[0] = bids[b];
+            return rc_;
+          }
+        }
+      }
+      break;
+    }
+    case 4: // poseidon: full trace per item
+      for (long i = 0; i < count; ++i) {
+        long k = start + i;
+        u64 in[12], swp;
+        for (int j = 0; j < 12; ++j) {
+          if (wread(w, pos_in[k * 12 + j], &in[j])) {
+            err_info[0] = pos_in[k * 12 + j];
+            return 1;
+          }
+        }
+        if (wread(w, pos_swap[k], &swp)) { err_info[0] = pos_swap[k]; return 1; }
+        const long *ids = pos_internal + k * n_internal;
+        u64 s[12], tmp[12], pre[12], dl[4];
+        long sp = 0;
+        for (int j = 0; j < 4; ++j) {
+          dl[j] = gmul(swp, gsub(in[j + 4], in[j]));
+          if (int rc_ = wwrite(w, ids[sp], dl[j])) { err_info[0] = ids[sp]; return rc_; }
+          ++sp;
+        }
+        for (int j = 0; j < 4; ++j) s[j] = gadd(in[j], dl[j]);
+        for (int j = 0; j < 4; ++j) s[j + 4] = gsub(in[j + 4], dl[j]);
+        for (int j = 8; j < 12; ++j) s[j] = in[j];
+        for (int j = 0; j < 12; ++j) tmp[j] = sbox7(gadd(s[j], rc[j]));
+        mds(m, tmp, s);
+        for (int r = 1; r < half_full; ++r) {
+          const u64 *rcr = rc + r * 12;
+          for (int j = 0; j < 12; ++j) {
+            pre[j] = gadd(s[j], rcr[j]);
+            if (int rc_ = wwrite(w, ids[sp], pre[j])) { err_info[0] = ids[sp]; return rc_; }
+            ++sp;
+            tmp[j] = sbox7(pre[j]);
+          }
+          mds(m, tmp, s);
+        }
+        for (int pr = 0; pr < n_partial; ++pr) {
+          const u64 *rcr = rc + (half_full + pr) * 12;
+          for (int j = 0; j < 12; ++j) pre[j] = gadd(s[j], rcr[j]);
+          if (int rc_ = wwrite(w, ids[sp], pre[0])) { err_info[0] = ids[sp]; return rc_; }
+          ++sp;
+          pre[0] = sbox7(pre[0]);
+          mds(m, pre, s);
+        }
+        for (int r = 0; r < half_full; ++r) {
+          const u64 *rcr = rc + (half_full + n_partial + r) * 12;
+          for (int j = 0; j < 12; ++j) {
+            pre[j] = gadd(s[j], rcr[j]);
+            if (int rc_ = wwrite(w, ids[sp], pre[j])) { err_info[0] = ids[sp]; return rc_; }
+            ++sp;
+            tmp[j] = sbox7(pre[j]);
+          }
+          mds(m, tmp, s);
+        }
+        for (int j = 0; j < 12; ++j) {
+          if (int rc_ = wwrite(w, pos_out[k * 12 + j], s[j])) {
+            err_info[0] = pos_out[k * 12 + j];
+            return rc_;
+          }
+        }
+      }
+      break;
+    default:
+      err_info[0] = kind;
+      return 99;
+    }
+  }
+  return 0;
+}
+
+} // extern "C"

@@ -136,6 +136,104 @@ def compile_generators(builder) -> GeneratorBatches:
     )
 
 
+class _NativePlan:
+    """Flat-array encoding of a GeneratorBatches plan for the one-call
+    C executor (native/poseidon_native.cc run_witness_plan).  All ids
+    are pre-resolved union-find roots; built once per circuit."""
+
+    def __init__(self, plan: "GeneratorBatches"):
+        from ..ops import poseidon as pos
+        from .gates import PoseidonGate
+
+        g = PoseidonGate()
+        canonical = (
+            [g.wire_delta(i) for i in range(4)]
+            + [g.wire_full0(r, i) for r in range(1, 4) for i in range(12)]
+            + [g.wire_partial(pr) for pr in range(pos.N_PARTIAL_ROUNDS)]
+            + [g.wire_full1(r, i) for r in range(4) for i in range(12)]
+        )
+        roots = plan.roots
+        table = []
+        const_ids, const_vals = [], []
+        a_c0, a_c1, a_m0, a_m1, a_a, a_out = [], [], [], [], [], []
+        inv_x, inv_out = [], []
+        bits_val, bits_out = [], []
+        pos_in, pos_swap, pos_internal, pos_out = [], [], [], []
+
+        def r(t):
+            return int(roots[t])
+
+        for kind, items in plan.batches:
+            if kind == "const":
+                table.append([0, len(const_ids), len(items), 0, 0, 0])
+                for t, v in items:
+                    const_ids.append(r(t))
+                    const_vals.append(int(v) % gl.P)
+            elif kind == "arith":
+                table.append([1, len(a_c0), len(items), 0, 0, 0])
+                for c0, c1, m0, m1, a, out in items:
+                    a_c0.append(int(c0) % gl.P)
+                    a_c1.append(int(c1) % gl.P)
+                    a_m0.append(r(m0))
+                    a_m1.append(r(m1))
+                    a_a.append(r(a))
+                    a_out.append(r(out))
+            elif kind == "inv_or_zero":
+                table.append([2, len(inv_x), len(items), 0, 0, 0])
+                for x, out in items:
+                    inv_x.append(r(x))
+                    inv_out.append(r(out))
+            elif kind == "bits":
+                nbits = len(items[0][1])
+                table.append(
+                    [3, len(bits_val), len(items), nbits, len(bits_out), 0]
+                )
+                for value_t, bit_ts in items:
+                    assert len(bit_ts) == nbits
+                    bits_val.append(r(value_t))
+                    bits_out.extend(r(t) for t in bit_ts)
+            elif kind == "poseidon":
+                table.append([4, len(pos_swap), len(items), 0, 0, 0])
+                for in_ts, swap_t, internal, out_ts in items:
+                    assert [w for w, _ in internal] == canonical
+                    pos_in.extend(r(t) for t in in_ts)
+                    pos_swap.append(r(swap_t))
+                    pos_internal.extend(r(t) for _, t in internal)
+                    pos_out.extend(r(t) for t in out_ts)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown generator kind {kind}")
+
+        def i64(x):
+            return np.ascontiguousarray(x, dtype=np.int64)
+
+        def u64(x):
+            return np.ascontiguousarray(x, dtype=np.uint64)
+
+        self.batch_table = i64(table).reshape(-1, 6)
+        self.const_ids, self.const_vals = i64(const_ids), u64(const_vals)
+        self.arith_c0, self.arith_c1 = u64(a_c0), u64(a_c1)
+        self.arith_m0, self.arith_m1 = i64(a_m0), i64(a_m1)
+        self.arith_a, self.arith_out = i64(a_a), i64(a_out)
+        self.inv_x, self.inv_out = i64(inv_x), i64(inv_out)
+        self.bits_val, self.bits_out = i64(bits_val), i64(bits_out)
+        self.pos_in, self.pos_swap = i64(pos_in), i64(pos_swap)
+        self.pos_internal, self.pos_out = i64(pos_internal), i64(pos_out)
+
+
+def _native_plan_for(plan: GeneratorBatches) -> "_NativePlan | None":
+    try:
+        cached = plan._native_plan
+    except AttributeError:
+        cached = None
+    if cached is None:
+        try:
+            cached = _NativePlan(plan)
+        except AssertionError:  # unexpected layout: fall back to numpy
+            cached = False
+        plan._native_plan = cached
+    return cached or None
+
+
 def run_generators(
     plan: GeneratorBatches, pw: PartialWitness
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -154,6 +252,26 @@ def run_generators(
             raise WitnessConflict(t)
         values[r] = np.uint64(v)
         known[r] = True
+
+    native_plan = _native_plan_for(plan)
+    if native_plan is not None:
+        from ..native import run_witness_plan
+
+        result = run_witness_plan(values, known, native_plan)
+        if result is not None:
+            code, err = result
+            if code == 0:
+                return values, known
+            if code == 1:
+                raise ValueError(f"witness targets not set: [{err[0]}]")
+            if code == 2:
+                raise WitnessConflict(int(err[0]))
+            if code == 3:
+                raise ValueError(
+                    f"value {int(np.uint64(err[1]))} does not fit in "
+                    f"{int(err[2])} bits (range check failed at witness time)"
+                )
+            raise RuntimeError(f"native witness plan failed: code {code}")
 
     def read(ts) -> np.ndarray:
         idx = roots[np.asarray(ts, dtype=np.int64)]
