@@ -1,0 +1,98 @@
+"""Aggregation benchmarks — parity with the reference's criterion grid
+`aggregate_proofs_{branching}_{depth}` / `verify_aggregate_proof_{b}_{d}`
+(/root/reference/wormhole/aggregator/benches/aggregator.rs:95-201, grid
+(2,1),(2,2),(2,3),(2,4),(2,5),(3,2),(4,2),(5,2),(6,2),(7,2)).
+
+Like the reference bench, leaves are copies of ONE real proof of the
+wormhole circuit (aggregator.rs:60-90 proves once and pads with the
+embedded dummy).  Each grid point prints two JSON lines:
+aggregate_proofs_{b}_{d} and verify_aggregate_proof_{b}_{d}.
+
+Recursive chunk proofs are expensive (a (b,d) tree is
+sum_{l=1..d} ceil(b^d / b^l) chunk proofs), so the default grid is the
+smallest point; pass grid points as CLI args to widen:
+
+  python benches/bench_aggregator.py 2,1 2,2 3,2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_GRID = [(2, 1)]
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    grid = (
+        [tuple(int(x) for x in a.split(",")) for a in argv]
+        if argv
+        else DEFAULT_GRID
+    )
+
+    from tests.fixtures import synthetic_circuit_inputs
+    from qzk_tpu.models.wormhole.aggregator import (
+        TreeAggregationConfig,
+        WormholeProofAggregator,
+    )
+    from qzk_tpu.models.wormhole.circuit import WormholeCircuit
+    from qzk_tpu.models.wormhole.prover import WormholeProver
+    from qzk_tpu.plonk.config import CircuitConfig
+
+    cfg = CircuitConfig.standard_recursion_zk_config()
+    circuit = WormholeCircuit(cfg)
+    targets = circuit.targets()
+    data = circuit.build_circuit()
+    verifier_data = data.verifier_data()
+
+    prover = WormholeProver(
+        cfg, _circuit_data=data.prover_data(), _targets=targets
+    )
+    leaf_proof = prover.commit(synthetic_circuit_inputs()).prove()
+
+    for branching, depth in grid:
+        agg_cfg = TreeAggregationConfig.new(branching, depth)
+        aggregator = WormholeProofAggregator(
+            verifier_data, config=agg_cfg, dummy_proof=leaf_proof
+        )
+        for _ in range(agg_cfg.num_leaf_proofs):
+            aggregator.push_proof(leaf_proof)
+
+        t0 = time.perf_counter()
+        aggregated = aggregator.aggregate()
+        agg_s = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": f"aggregate_proofs_{branching}_{depth}",
+                    "value": round(agg_s, 3),
+                    "unit": "s",
+                }
+            ),
+            flush=True,
+        )
+
+        vd = aggregated.circuit_data.verifier_data()
+        vd.verify(aggregated.proof)  # warm + correctness
+        t0 = time.perf_counter()
+        vd.verify(aggregated.proof)
+        ver_s = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": f"verify_aggregate_proof_{branching}_{depth}",
+                    "value": round(ver_s, 4),
+                    "unit": "s",
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
