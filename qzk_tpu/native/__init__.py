@@ -38,7 +38,7 @@ def _build_and_load():
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-o", tmp, _SRC,
+                "-pthread", "-o", tmp, _SRC,
             ],
             check=True,
             capture_output=True,
@@ -75,6 +75,9 @@ def _build_and_load():
         i64p,  # err_info
     ]
     lib.run_witness_plan.restype = ctypes.c_long
+    lib.gl_ntt_rows.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_long, u64p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -98,6 +101,32 @@ def get_lib():
 
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ntt_rows(values: np.ndarray, tw: np.ndarray) -> np.ndarray | None:
+    """Forward radix-2 NTT along rows of (R, n) uint64 (bit-reversal
+    included).  tw is the stage-twiddle table from ops/ntt.py
+    (_stage_twiddles).  None if native unavailable."""
+    out = np.ascontiguousarray(values, dtype=np.uint64).copy()
+    if ntt_rows_inplace(out, tw):
+        return out
+    return None
+
+
+def ntt_rows_inplace(values: np.ndarray, tw: np.ndarray) -> bool:
+    """In-place variant for callers that own a contiguous buffer
+    (avoids a full-size copy on the multi-GB LDE arrays)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert values.dtype == np.uint64 and values.flags.c_contiguous
+    rows = values.shape[0] if values.ndim == 2 else 1
+    n = values.shape[-1]
+    n_threads = min(rows, os.cpu_count() or 1)
+    lib.gl_ntt_rows(
+        _ptr(values), rows, n, _ptr(np.ascontiguousarray(tw)), n_threads
+    )
+    return True
 
 
 def poseidon_permute_batch(states: np.ndarray) -> np.ndarray:

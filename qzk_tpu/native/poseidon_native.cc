@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 using u64 = std::uint64_t;
 using u128 = unsigned __int128;
@@ -383,6 +385,58 @@ long run_witness_plan(
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Radix-2 NTT over rows (host fallback for the one-time circuit build
+// and CPU-only runs; the prover's NTTs run on the TPU).
+// data: (rows, n) row-major, transformed in place per row.
+// tw: per-stage twiddle table — stage s (1-based, half = 1<<(s-1))
+// occupies tw[half-1 .. 2*half-2], entry j = w_s^j.  Total n-1 entries.
+
+static void ntt_row(u64 *x, long n, int log_n, const u64 *tw) {
+  for (long i = 1, j = 0; i < n; ++i) {
+    long bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j |= bit;
+    if (i < j) {
+      u64 t = x[i];
+      x[i] = x[j];
+      x[j] = t;
+    }
+  }
+  for (int s = 1; s <= log_n; ++s) {
+    long half = 1L << (s - 1);
+    const u64 *w = tw + (half - 1);
+    for (long b = 0; b < n; b += half << 1) {
+      for (long j = 0; j < half; ++j) {
+        u64 o = gmul(x[b + half + j], w[j]);
+        u64 e = x[b + j];
+        x[b + j] = gadd(e, o);
+        x[b + half + j] = gsub(e, o);
+      }
+    }
+  }
+}
+
+void gl_ntt_rows(u64 *data, long rows, long n, const u64 *tw,
+                 int n_threads) {
+  int log_n = 0;
+  while ((1L << log_n) < n) ++log_n;
+  if (n_threads <= 1 || rows <= 1) {
+    for (long r = 0; r < rows; ++r) ntt_row(data + r * n, n, log_n, tw);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long per = (rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    long lo = t * per, hi = lo + per < rows ? lo + per : rows;
+    if (lo >= hi) break;
+    threads.emplace_back([=]() {
+      for (long r = lo; r < hi; ++r) ntt_row(data + r * n, n, log_n, tw);
+    });
+  }
+  for (auto &th : threads) th.join();
 }
 
 } // extern "C"

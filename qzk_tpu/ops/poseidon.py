@@ -103,6 +103,12 @@ def permute(state: np.ndarray) -> np.ndarray:
     assert state.shape[-1] == WIDTH
     if state.ndim == 1:
         return _permute_scalar(state)
+    if state.ndim == 2 and state.shape[0] >= 8:
+        from .. import native
+
+        out = native.poseidon_permute_batch(state)
+        if out is not None:
+            return out
     round_ctr = 0
     # First half of full rounds.
     for _ in range(HALF_FULL):

