@@ -92,6 +92,20 @@ def verify_merkle_proof(
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas() -> bool:
+    """Use the fused Pallas sponge kernels (2.9x the XLA hash rate on
+    v5e)?  Static per trace; QZK_PALLAS=0/1 overrides the backend
+    default (on for accelerators, off for the CPU interpreter)."""
+    import os
+
+    flag = os.environ.get("QZK_PALLAS")
+    if flag in ("0", "1"):
+        return flag == "1"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def build_merkle_levels_jax(leaves: GF, cap_height: int) -> list[GF]:
     """Device tree build: leaves (n, w) -> list of digest levels.
 
@@ -103,16 +117,24 @@ def build_merkle_levels_jax(leaves: GF, cap_height: int) -> list[GF]:
     n, w = leaves.shape
     log_n = n.bit_length() - 1
     assert 1 << log_n == n and cap_height <= log_n
+    pallas_ok = _use_pallas()
+    if pallas_ok:
+        from . import poseidon_pallas
+
     if w <= 4:
         hashes = jnp.pad(leaves, [(0, 0), (0, 4 - w)])
+    elif pallas_ok and n >= poseidon_pallas.BLOCK:
+        hashes = poseidon_pallas.hash_no_pad_rows(leaves)
     else:
         hashes = poseidon_jax.hash_no_pad_batch(leaves)
     levels = [hashes]
     while len(levels) - 1 < log_n - cap_height:
         prev = levels[-1].reshape(-1, 2, 4)
-        levels.append(
-            poseidon_jax.two_to_one_batch(prev[:, 0, :], prev[:, 1, :])
-        )
+        if pallas_ok and prev.shape[0] >= poseidon_pallas.BLOCK:
+            nxt = poseidon_pallas.two_to_one(prev[:, 0, :], prev[:, 1, :])
+        else:
+            nxt = poseidon_jax.two_to_one_batch(prev[:, 0, :], prev[:, 1, :])
+        levels.append(nxt)
     return levels
 
 

@@ -166,3 +166,47 @@ class TestStorageProofNegatives:
 
         with pytest.raises((WitnessConflict, ValueError)):
             self._commit_tampered(data, targets, mutate)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("QZK_SLOW_TESTS") != "1",
+    reason="random bit-flip fuzz proves repeatedly; set QZK_SLOW_TESTS=1",
+)
+class TestStorageProofFuzz:
+    """Scaled-down analog of the reference's 1000-iteration random
+    bit-flip storage-proof fuzz (storage_proof_tests.rs:102-147):
+    every random single-bit tamper of a proof node must fail — at
+    witness time (hash-chain conflict) or at verification."""
+
+    N_ITERS = 24
+
+    def test_random_bit_flips_all_fail(self, circuit_data):
+        data, targets = circuit_data
+        prover_data = data.prover_data()
+        rng = np.random.default_rng(0xF122)
+        failures = 0
+        for _ in range(self.N_ITERS):
+            inputs = synthetic_circuit_inputs()
+            proof_nodes = inputs.private.storage_proof.proof
+            node_i = int(rng.integers(len(proof_nodes)))
+            node = bytearray(proof_nodes[node_i])
+            bit = int(rng.integers(len(node) * 8))
+            node[bit // 8] ^= 1 << (bit % 8)
+            proof_nodes[node_i] = bytes(node)
+            prover = WormholeProver(
+                CIRCUIT_CONFIG, _circuit_data=prover_data, _targets=targets
+            )
+            try:
+                proof = prover.commit(inputs).prove()
+            except (WitnessConflict, ValueError):
+                failures += 1
+                continue
+            try:
+                WormholeVerifier.new(
+                    CIRCUIT_CONFIG, data.verifier_data()
+                ).verify(proof)
+            except VerificationError:
+                failures += 1
+        assert failures == self.N_ITERS, (
+            f"{self.N_ITERS - failures} tampered proofs were accepted"
+        )
