@@ -19,18 +19,21 @@ using u128 = unsigned __int128;
 static const u64 P = 0xFFFFFFFF00000001ULL;
 static const u64 EPS = 0xFFFFFFFFULL; // 2^64 mod p
 
+// Branchless: the carry/borrow conditions are ~50/50 on random field
+// data, so data-dependent branches mispredict constantly in the NTT
+// butterfly loops; mask arithmetic keeps the pipeline full.
 static inline u64 reduce128(u128 x) {
   u64 lo = (u64)x;
   u64 hi = (u64)(x >> 64);
   u64 hi_hi = hi >> 32;
   u64 hi_lo = hi & EPS;
   u64 t = lo - hi_hi;
-  if (lo < hi_hi) t -= EPS; // wraps correctly mod p
+  t -= (u64)(-(u64)(lo < hi_hi)) & EPS; // wraps correctly mod p
   u64 a = hi_lo * EPS;
   u64 s = t + a;
-  if (s < t) s += EPS;
-  if (s >= P) s -= P;
-  if (s >= P) s -= P;
+  s += (u64)(-(u64)(s < t)) & EPS;
+  s -= (u64)(-(u64)(s >= P)) & P;
+  s -= (u64)(-(u64)(s >= P)) & P;
   return s;
 }
 
@@ -38,14 +41,14 @@ static inline u64 gmul(u64 a, u64 b) { return reduce128((u128)a * b); }
 
 static inline u64 gadd(u64 a, u64 b) {
   u64 s = a + b;
-  if (s < a) s += EPS;
-  if (s >= P) s -= P;
+  s += (u64)(-(u64)(s < a)) & EPS;
+  s -= (u64)(-(u64)(s >= P)) & P;
   return s;
 }
 
 static inline u64 gsub(u64 a, u64 b) {
   u64 d = a - b;
-  if (a < b) d -= EPS;
+  d -= (u64)(-(u64)(a < b)) & EPS;
   return d;
 }
 
