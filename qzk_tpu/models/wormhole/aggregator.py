@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from pathlib import Path
 
+import numpy as np
+
 from ...plonk import recursion as rec
 from ...plonk.builder import CircuitBuilder
 from ...plonk.circuit_data import CircuitData, VerifierCircuitData
@@ -65,9 +67,27 @@ class _ChunkCircuit:
     proof_targets: list  # branching ProofWithPisTargets
 
 
+# (circuit_digest bytes, branching) -> _ChunkCircuit.  The recursion
+# circuit depends only on the child-proof shape (common data) and the
+# chunk size, so a proving service aggregating many batches builds each
+# shape once per process (the reference rebuilds per chunk per level —
+# tree.rs:106-143; we additionally reuse across aggregate() calls).
+_chunk_circuit_cache: dict = {}
+
+
 def build_chunk_circuit(common, branching: int) -> _ChunkCircuit:
     """The recursion circuit verifying `branching` child proofs and
     re-exporting their public inputs (tree.rs:106-127)."""
+    key = (bytes(np.asarray(common.circuit_digest).tobytes()), branching)
+    cached = _chunk_circuit_cache.get(key)
+    if cached is not None:
+        return cached
+    circuit = _build_chunk_circuit_uncached(common, branching)
+    _chunk_circuit_cache[key] = circuit
+    return circuit
+
+
+def _build_chunk_circuit_uncached(common, branching: int) -> _ChunkCircuit:
     builder = CircuitBuilder(common.config)
     vd_t = rec.add_virtual_verifier_data(
         builder, common.config.fri_config.cap_height

@@ -114,3 +114,34 @@ class TestTreeAggregation:
         )
         agg.circuit_data.verify(agg.proof)
         assert list(agg.proof.public_inputs) == [9, 49]
+
+
+class TestChunkCircuitCache:
+    def test_memoized_per_digest_and_branching(self, monkeypatch):
+        """build_chunk_circuit builds each (child shape, branching)
+        once per process — our deliberate improvement over the
+        reference's rebuild-per-chunk (tree.rs:106-143)."""
+        from qzk_tpu.models.wormhole import aggregator as agg_mod
+
+        calls = []
+        real = agg_mod._build_chunk_circuit_uncached
+
+        def counting(common, branching):
+            calls.append(branching)
+            return real(common, branching)
+
+        monkeypatch.setattr(
+            agg_mod, "_build_chunk_circuit_uncached", counting
+        )
+        monkeypatch.setattr(agg_mod, "_chunk_circuit_cache", {})
+        data, _ = _square_circuit()
+        a = agg_mod.build_chunk_circuit(data.common, 2)
+        b = agg_mod.build_chunk_circuit(data.common, 2)
+        assert a is b and calls == [2]
+        # a different branching is a different cache key (no build here
+        # to keep the fast tier fast; the slow tier proves through it)
+        key2 = (
+            bytes(np.asarray(data.common.circuit_digest).tobytes()),
+            3,
+        )
+        assert key2 not in agg_mod._chunk_circuit_cache
