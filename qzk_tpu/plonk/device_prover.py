@@ -98,6 +98,78 @@ class DeviceTree:
         )
 
 
+class DeviceChallenger:
+    """Traced mirror of ops.transcript.Challenger for use INSIDE a jit.
+
+    The duplex-sponge state is a (12,) uint64 traced array; the
+    input/output buffers are Python lists of traced scalars whose
+    lengths are static at trace time (the Fiat-Shamir observation
+    schedule of a fixed circuit is fixed), so all buffer control flow
+    unrolls at trace time and only the Poseidon permutes become device
+    ops.  This is what lets the whole prove pipeline run as ONE XLA
+    executable: the transcript no longer forces a host round trip per
+    challenge phase (SURVEY.md §2b row `no_random` — determinism — is
+    preserved bit-exactly; tests cross-check against the host
+    Challenger).
+    """
+
+    def __init__(self):
+        self.state = jnp.zeros(12, jnp.uint64)
+        self.input_buf: list = []
+        self.output_buf: list = []
+
+    def observe_element(self, e) -> None:
+        self.output_buf.clear()
+        self.input_buf.append(e)
+        if len(self.input_buf) == 8:
+            self._duplex()
+
+    def observe_elements(self, arr) -> None:
+        flat = arr.reshape(-1)
+        for i in range(flat.shape[0]):
+            self.observe_element(flat[i])
+
+    def observe_cap(self, cap) -> None:
+        self.observe_elements(cap)
+
+    def _duplex(self) -> None:
+        k = len(self.input_buf)
+        if k:
+            self.state = self.state.at[:k].set(jnp.stack(self.input_buf))
+            self.input_buf.clear()
+        self.state = pj.permute(self.state)
+        self.output_buf = [self.state[i] for i in range(8)]
+
+    def get_challenge(self):
+        if self.input_buf or not self.output_buf:
+            self._duplex()
+        return self.output_buf.pop()
+
+    def get_n_challenges(self, n: int):
+        return jnp.stack([self.get_challenge() for _ in range(n)])
+
+    def get_extension_challenge(self):
+        c0 = self.get_challenge()
+        c1 = self.get_challenge()
+        return jnp.stack([c0, c1])
+
+    def export(self):
+        """(state, input_buf, output_buf) as traced arrays; buffer
+        lengths are static so the host Challenger can be reconstructed
+        exactly from the downloaded values."""
+        inb = (
+            jnp.stack(self.input_buf)
+            if self.input_buf
+            else jnp.zeros(0, jnp.uint64)
+        )
+        outb = (
+            jnp.stack(self.output_buf)
+            if self.output_buf
+            else jnp.zeros(0, jnp.uint64)
+        )
+        return self.state, inb, outb
+
+
 class DeviceProverContext:
     """Per-circuit device constants + compiled pipeline stages.
 
@@ -169,6 +241,7 @@ class DeviceProverContext:
             levels = mk.build_merkle_levels_jax(leaves, cap_height)
             return coeffs, lde, leaves, levels
 
+        self._commit_raw = commit
         self._commit_salted = jax.jit(lambda v, s: commit(v, s))
         self._commit_plain = jax.jit(lambda v: commit(v, None))
 
@@ -207,6 +280,7 @@ class DeviceProverContext:
                     rows.append(cum)
             return jnp.stack(rows)
 
+        self._zs_raw = zs_stage
         self._zs_stage = jax.jit(zs_stage)
 
         n_sel = common.num_selectors
@@ -256,6 +330,7 @@ class DeviceProverContext:
             quotient_lde = ntt_mod.coset_lde_jax(quotient_coeffs, rate_bits)
             return quotient_coeffs, quotient_lde, tail_ok
 
+        self._quotient_raw = quotient_stage
         self._quotient_stage = jax.jit(quotient_stage)
 
         def eval_polys_ext(coeffs, pows):
@@ -275,6 +350,7 @@ class DeviceProverContext:
                 eval_polys_ext(zs_coeffs, pows_r),
             )
 
+        self._openings_raw = openings_stage
         self._openings_stage = jax.jit(openings_stage)
 
         def fri_input_one(lde_rows, apows, reduced_claim, z):
@@ -304,11 +380,13 @@ class DeviceProverContext:
             G2 = fri_input_one(zs_lde, apows_zs, claim_zs, zeta_right)
             return gj.ext_add(G, G2)
 
+        self._fri_input_raw = fri_input_stage
         self._fri_input_stage = jax.jit(fri_input_stage)
 
         # per-(M, arity) FRI layer executables, built lazily
         self._fri_layer_fns: dict = {}
         self._pow_grind_fn = None
+        self._full_fns: dict = {}
 
     # -- FRI layers ----------------------------------------------------------
 
@@ -317,6 +395,16 @@ class DeviceProverContext:
         key = (M, arity_bits, shift)
         if key in self._fri_layer_fns:
             return self._fri_layer_fns[key]
+        commit_layer, fold_layer = self._fri_layer_raw(
+            M, arity_bits, shift, cap_h
+        )
+        fns = (jax.jit(commit_layer), jax.jit(fold_layer))
+        self._fri_layer_fns[key] = fns
+        return fns
+
+    def _fri_layer_raw(self, M: int, arity_bits: int, shift: int, cap_h: int):
+        """Unjitted (commit_leaves, fold) pair for one FRI layer shape —
+        inlined by the fused pipeline."""
         A = 1 << arity_bits
         W = gj.from_u64(fri_mod._fold_matrices(arity_bits))  # (A, A)
         w_M = ntt_mod.root_of_unity(M.bit_length() - 1)
@@ -357,9 +445,158 @@ class DeviceProverContext:
                 )
             return out
 
-        fns = (jax.jit(commit_layer), jax.jit(fold_layer))
-        self._fri_layer_fns[key] = fns
-        return fns
+        return commit_layer, fold_layer
+
+    # -- fully fused pipeline --------------------------------------------------
+
+    def full_pipeline(self, salted: bool):
+        """ONE jitted executable for the whole post-witness prove:
+        wires commit -> transcript -> Zs -> quotient -> openings ->
+        FRI input -> FRI commit layers -> final poly -> first PoW
+        batch, with the Fiat-Shamir challenger running on device
+        (DeviceChallenger).  The only host interactions left are the
+        witness upload before and the proof download after.
+        """
+        if salted in self._full_fns:
+            return self._full_fns[salted]
+
+        common = self.common
+        cfg = common.config
+        fri_cfg = cfg.fri_config
+        N = common.degree
+        lde_size = common.lde_size
+        cap_height = fri_cfg.cap_height
+        arities = fri_cfg.reduction_arity_bits(common.degree_bits)
+        digest = jnp.asarray(
+            np.asarray(common.circuit_digest, dtype=np.uint64)
+        )
+        g = np.uint64(common.subgroup_generator())
+        g_ext = jnp.asarray(gl.ext(g, np.uint64(0)))
+        pow_bits = fri_cfg.proof_of_work_bits
+        POW_BATCH = 1 << 18
+
+        def ext_reduce(claims, apows):
+            """sum_i claims[i] * alpha^i over (S, 2) ext vectors."""
+            prod = gj.ext_mul(claims, apows)
+            return jnp.stack(
+                [
+                    gj.sum_mod(prod[:, 0], axis=0),
+                    gj.sum_mod(prod[:, 1], axis=0),
+                ]
+            )
+
+        def pipeline(wire_matrix_dev, pi_hash_dev, salts):
+            ch = DeviceChallenger()
+            # 2. commit wires
+            w_coeffs, w_lde, w_leaves, w_levels = self._commit_raw(
+                wire_matrix_dev.T, salts[0] if salted else None
+            )
+            ch.observe_elements(digest)
+            ch.observe_elements(pi_hash_dev)
+            ch.observe_cap(w_levels[-1])
+            betas = ch.get_n_challenges(cfg.num_challenges)
+            gammas = ch.get_n_challenges(cfg.num_challenges)
+            # 3. permutation argument
+            zs_pp = self._zs_raw(
+                wire_matrix_dev[:, : cfg.num_routed_wires], betas, gammas
+            )
+            zs_coeffs, zs_lde, z_leaves, z_levels = self._commit_raw(
+                zs_pp, salts[1] if salted else None
+            )
+            ch.observe_cap(z_levels[-1])
+            alphas = ch.get_n_challenges(cfg.num_challenges)
+            # 4. quotient
+            q_coeffs, q_lde, tail_ok = self._quotient_raw(
+                w_lde, zs_lde, pi_hash_dev, betas, gammas, alphas
+            )
+            q_leaves = (
+                jnp.concatenate([q_lde.T, salts[2]], axis=1)
+                if salted
+                else q_lde.T
+            )
+            q_levels = mk.build_merkle_levels_jax(q_leaves, cap_height)
+            ch.observe_cap(q_levels[-1])
+            zeta = ch.get_extension_challenge()
+            zeta_right = gj.ext_mul(zeta, g_ext)
+            # 5. openings
+            opened = self._openings_raw(
+                w_coeffs, zs_coeffs, q_coeffs, zeta, zeta_right
+            )
+            zeta_claims = jnp.concatenate(opened[:4])
+            ch.observe_elements(zeta_claims)
+            ch.observe_elements(opened[4])
+            fri_alpha = ch.get_extension_challenge()
+            apows_all = gj.ext_powers(fri_alpha, zeta_claims.shape[0])
+            apows_zs = gj.ext_powers(fri_alpha, opened[4].shape[0])
+            G = self._fri_input_raw(
+                w_lde,
+                zs_lde,
+                q_lde,
+                apows_all,
+                ext_reduce(zeta_claims, apows_all),
+                zeta,
+                apows_zs,
+                ext_reduce(opened[4], apows_zs),
+                zeta_right,
+            )
+            # FRI commit phase
+            shift = gl.GENERATOR
+            values = G
+            layers = []
+            for ab in arities:
+                A = 1 << ab
+                M = values.shape[0]
+                cap_h = fri_mod._layer_cap_height(fri_cfg, M // A)
+                commit_layer, fold_layer = self._fri_layer_raw(
+                    M, ab, shift, cap_h
+                )
+                leaves, levels = commit_layer(values)
+                ch.observe_cap(levels[-1])
+                beta = ch.get_extension_challenge()
+                layers.append((leaves, levels, values))
+                values = fold_layer(values, beta)
+                shift = pow(shift, A, gl.P)
+            # final polynomial: coset-iNTT of the last layer, on device
+            M = values.shape[0]
+            final_plan = ntt_mod.get_plan(M.bit_length() - 1)
+            coeffs = final_plan.intt(values.T)  # (2, M)
+            s_inv = jnp.asarray(
+                ntt_mod.powers(pow(shift, gl.P - 2, gl.P), M)
+            )
+            coeffs = gj.mul(coeffs, s_inv[None, :])
+            final_len = 1 << max(0, common.degree_bits - sum(arities))
+            final_ok = (coeffs[:, final_len:] == 0).all()
+            final_poly = coeffs[:, :final_len].T  # (final_len, 2)
+            ch.observe_elements(final_poly)
+            # first PoW batch on device (host falls back on a miss)
+            k = len(ch.input_buf)
+            cands = jnp.arange(POW_BATCH, dtype=jnp.uint64)
+            states = jnp.tile(ch.state, (POW_BATCH, 1))
+            if k:
+                states = states.at[:, :k].set(
+                    jnp.stack(ch.input_buf)[None, :]
+                )
+            states = states.at[:, k].set(cands)
+            pow_out = pj.permute(states)
+            ok = (pow_out[:, 7] >> jnp.uint64(64 - pow_bits)) == 0
+            pow_hit = jnp.any(ok)
+            pow_cand = cands[jnp.argmax(ok)]
+            return dict(
+                wires=(w_leaves, w_levels),
+                zs=(z_leaves, z_levels),
+                quotient=(q_leaves, q_levels),
+                opened=opened,
+                tail_ok=tail_ok,
+                final_ok=final_ok,
+                final_poly=final_poly,
+                layers=layers,
+                challenger=ch.export(),
+                pow=(pow_hit, pow_cand),
+            )
+
+        fn = jax.jit(pipeline)
+        self._full_fns[salted] = fn
+        return fn
 
     def grind_pow(self, challenger: Challenger, bits: int) -> int:
         """Device PoW grind: batched candidate permutations, first hit
@@ -414,10 +651,172 @@ def get_context(common, prover_only) -> DeviceProverContext:
     return ctx
 
 
+def _assemble_query_rounds(ctx, arities, oracles, layer_values,
+                           layer_trees, indices):
+    """Device-side query gathers for all oracles and FRI layers, then
+    one batched download; returns the per-round proof structures."""
+    idx = np.array(indices, dtype=np.int64)
+    Q = len(indices)
+    pending = [t.gather_queries_async(idx) for t in oracles]
+    step_pending = []
+    j = idx
+    for t, ab in enumerate(arities):
+        A = 1 << ab
+        M = layer_values[t].shape[0]
+        jg = j % (M // A)
+        step_pending.append(
+            (
+                _gather_grouped(layer_values[t], jnp.asarray(jg), ab),
+                layer_trees[t].gather_queries_async(jg)[1],
+            )
+        )
+        j = jg
+    oracle_data, step_data = jax.device_get((pending, step_pending))
+    rounds = []
+    for q in range(Q):
+        leaves_q = [
+            np.asarray(oracle_data[o][0][q], dtype=np.uint64)
+            for o in range(len(oracles))
+        ]
+        paths_q = [
+            [
+                np.asarray(oracle_data[o][1][q, d], dtype=np.uint64)
+                for d in range(oracle_data[o][1].shape[1])
+            ]
+            for o in range(len(oracles))
+        ]
+        steps = []
+        for t in range(len(arities)):
+            leaf_rows, paths = step_data[t]
+            steps.append(
+                FriQueryStep(
+                    leaf=np.asarray(leaf_rows[q], dtype=np.uint64),
+                    path=[
+                        np.asarray(paths[q, d], dtype=np.uint64)
+                        for d in range(paths.shape[1])
+                    ],
+                )
+            )
+        rounds.append(
+            FriQueryRound(
+                initial=FriInitialProof(leaves=leaves_q, paths=paths_q),
+                steps=steps,
+            )
+        )
+    return rounds
+
+
+def _fused_prove(common, prover_only, wire_matrix, public_inputs,
+                 pi_hash, fresh_salt, timer) -> ProofWithPublicInputs:
+    """device_prove via the single fused executable (full_pipeline):
+    one dispatch covers wires-commit through FRI+PoW; the transcript
+    runs on device and is reconstructed on host afterwards for the
+    query-index derivation."""
+    cfg = common.config
+    fri_cfg = cfg.fri_config
+    lde_size = common.lde_size
+    ctx = get_context(common, prover_only)
+    arities = fri_cfg.reduction_arity_bits(common.degree_bits)
+
+    salted = cfg.zero_knowledge
+    salts = (
+        tuple(fresh_salt(lde_size, device=True) for _ in range(3))
+        if salted
+        else (None, None, None)
+    )
+    out = ctx.full_pipeline(salted)(
+        gj.from_u64(wire_matrix), jnp.asarray(pi_hash), salts
+    )
+
+    def dev_tree(pair):
+        leaves, levels = pair
+        return DeviceTree(
+            leaves=leaves, levels=levels, cap=gj.to_u64(levels[-1])
+        )
+
+    if not bool(out["tail_ok"]):
+        raise ValueError(
+            "constraints unsatisfied: quotient degree overflow "
+            "(witness does not satisfy the circuit)"
+        )
+    assert bool(out["final_ok"]), "FRI final poly degree too high"
+    wires_tree = dev_tree(out["wires"])
+    zs_tree = dev_tree(out["zs"])
+    quotient_tree = dev_tree(out["quotient"])
+    layer_trees = [
+        dev_tree((leaves, levels)) for leaves, levels, _ in out["layers"]
+    ]
+    layer_values = [vals for _, _, vals in out["layers"]]
+    opened = jax.device_get(out["opened"])
+    openings = Openings(
+        preprocessed=np.asarray(opened[0], dtype=np.uint64),
+        wires=np.asarray(opened[1], dtype=np.uint64),
+        zs_partial=np.asarray(opened[2], dtype=np.uint64),
+        quotient=np.asarray(opened[3], dtype=np.uint64),
+        zs_partial_right=np.asarray(opened[4], dtype=np.uint64),
+    )
+    final_poly = np.asarray(
+        jax.device_get(out["final_poly"]), dtype=np.uint64
+    )
+    timer.mark("fused pipeline (device, 1 dispatch)")
+
+    # reconstruct the host challenger at the post-final-poly point
+    state, inb, outb = jax.device_get(out["challenger"])
+    challenger = Challenger()
+    challenger.state = np.array(state, dtype=np.uint64)  # writable copy
+    challenger.input_buf = [np.uint64(x) for x in np.asarray(inb)]
+    challenger.output_buf = [np.uint64(x) for x in np.asarray(outb)]
+
+    pow_hit, pow_cand = jax.device_get(out["pow"])
+    bits = fri_cfg.proof_of_work_bits
+    if bool(pow_hit):
+        pow_witness = int(pow_cand)
+        challenger.observe_element(pow_witness)
+        check = int(challenger.get_challenge())
+        assert check >> (64 - bits) == 0, "PoW self-check failed"
+    else:  # rare: no hit in the fused batch — host grind rescans
+        pow_witness = ctx.grind_pow(challenger, bits)
+    timer.mark("PoW finalize (host)")
+
+    indices = challenger.get_indices(
+        fri_cfg.num_query_rounds, common.lde_bits
+    )
+    oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
+    rounds = _assemble_query_rounds(
+        ctx, arities, oracles, layer_values, layer_trees, indices
+    )
+    timer.mark("FRI queries (device gathers)")
+
+    proof = Proof(
+        wires_cap=wires_tree.cap,
+        zs_partial_cap=zs_tree.cap,
+        quotient_cap=quotient_tree.cap,
+        openings=openings,
+        fri=FriProof(
+            commit_phase_caps=[t.cap for t in layer_trees],
+            final_poly=final_poly,
+            pow_witness=pow_witness,
+            query_rounds=rounds,
+        ),
+    )
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+
+def _fused_wanted() -> bool:
+    import os
+
+    return os.environ.get("QZK_FUSED", "1") != "0"
+
+
 def device_prove(common, prover_only, wire_matrix, public_inputs,
                  pi_hash, fresh_salt, timer) -> ProofWithPublicInputs:
     """Steps 2-5 of the prove pipeline, device-resident.  Called by
     plonk.prover.prove with the host-generated witness."""
+    if _fused_wanted():
+        return _fused_prove(
+            common, prover_only, wire_matrix, public_inputs, pi_hash,
+            fresh_salt, timer,
+        )
     cfg = common.config
     fri_cfg = cfg.fri_config
     N = common.degree
@@ -578,56 +977,10 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
 
     # query rounds ---------------------------------------------------------------
     indices = challenger.get_indices(fri_cfg.num_query_rounds, common.lde_bits)
-    idx = np.array(indices, dtype=np.int64)
-    Q = len(indices)
     oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
-    # launch every gather, then download the whole pytree in one transfer
-    pending = [t.gather_queries_async(idx) for t in oracles]
-    step_pending = []
-    j = idx
-    for t, ab in enumerate(arities):
-        A = 1 << ab
-        M = layer_values[t].shape[0]
-        jg = j % (M // A)
-        step_pending.append(
-            (
-                _gather_grouped(layer_values[t], jnp.asarray(jg), ab),
-                layer_trees[t].gather_queries_async(jg)[1],
-            )
-        )
-        j = jg
-    oracle_data, step_data = jax.device_get((pending, step_pending))
-    rounds = []
-    for q in range(Q):
-        leaves_q = [
-            np.asarray(oracle_data[o][0][q], dtype=np.uint64)
-            for o in range(len(oracles))
-        ]
-        paths_q = [
-            [
-                np.asarray(oracle_data[o][1][q, d], dtype=np.uint64)
-                for d in range(oracle_data[o][1].shape[1])
-            ]
-            for o in range(len(oracles))
-        ]
-        steps = []
-        for t in range(len(arities)):
-            leaf_rows, paths = step_data[t]
-            steps.append(
-                FriQueryStep(
-                    leaf=np.asarray(leaf_rows[q], dtype=np.uint64),
-                    path=[
-                        np.asarray(paths[q, d], dtype=np.uint64)
-                        for d in range(paths.shape[1])
-                    ],
-                )
-            )
-        rounds.append(
-            FriQueryRound(
-                initial=FriInitialProof(leaves=leaves_q, paths=paths_q),
-                steps=steps,
-            )
-        )
+    rounds = _assemble_query_rounds(
+        ctx, arities, oracles, layer_values, layer_trees, indices
+    )
     timer.mark("FRI queries (device gathers)")
 
     proof = Proof(
