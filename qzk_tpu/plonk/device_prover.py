@@ -802,21 +802,60 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
     return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
 
 
-def _fused_wanted() -> bool:
+def _fused_sentinel_path() -> str:
     import os
 
-    return os.environ.get("QZK_FUSED", "1") != "0"
+    cache = jax.config.jax_compilation_cache_dir or "/tmp"
+    return os.path.join(
+        cache, f"qzk_fused_disabled_{jax.default_backend()}"
+    )
+
+
+def _fused_wanted() -> bool:
+    """Default on; QZK_FUSED=0/1 forces.  A sentinel file (written when
+    the fused module once exceeded this deployment's compile limits)
+    persists the staged fallback across processes."""
+    import os
+
+    flag = os.environ.get("QZK_FUSED")
+    if flag in ("0", "1"):
+        return flag == "1"
+    return not os.path.exists(_fused_sentinel_path())
+
+
+def _mark_fused_broken() -> None:
+    try:
+        with open(_fused_sentinel_path(), "w") as f:
+            f.write("fused prove pipeline failed to compile here\n")
+    except OSError:
+        pass
 
 
 def device_prove(common, prover_only, wire_matrix, public_inputs,
                  pi_hash, fresh_salt, timer) -> ProofWithPublicInputs:
     """Steps 2-5 of the prove pipeline, device-resident.  Called by
     plonk.prover.prove with the host-generated witness."""
-    if _fused_wanted():
-        return _fused_prove(
-            common, prover_only, wire_matrix, public_inputs, pi_hash,
-            fresh_salt, timer,
-        )
+    if _fused_wanted() and not getattr(prover_only, "_fused_broken", False):
+        try:
+            return _fused_prove(
+                common, prover_only, wire_matrix, public_inputs, pi_hash,
+                fresh_salt, timer,
+            )
+        except jax.errors.JaxRuntimeError as e:
+            # Some deployments cap the XLA compile worker (the fused
+            # one-dispatch module is large); fall back to the staged
+            # pipeline (bit-exact, a handful of dispatches) and stay
+            # there for this circuit.
+            import warnings
+
+            warnings.warn(
+                "fused prove pipeline failed to compile/run "
+                f"({e}); falling back to the staged device pipeline",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            prover_only._fused_broken = True
+            _mark_fused_broken()
     cfg = common.config
     fri_cfg = cfg.fri_config
     N = common.degree

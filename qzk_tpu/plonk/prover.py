@@ -193,6 +193,17 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         salt = _blind_bits((n_leaves, 4))
         return salt if device else np.asarray(salt, dtype=np.uint64)
 
+    from .. import parallel as _parallel
+
+    mesh = _parallel.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.prover_sharded import sharded_prove
+
+        return sharded_prove(
+            common, prover_only, wire_matrix, public_inputs, pi_hash,
+            fresh_salt, _t, mesh,
+        )
+
     if _device_pipeline_wanted(N):
         from .device_prover import device_prove
 
