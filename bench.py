@@ -36,6 +36,16 @@ import sys
 import threading
 import time
 
+# Python's per-process hash randomization leaks into the serialization
+# of large multi-kernel XLA modules, changing the persistent-compile-
+# cache key every process (verified empirically: identical HLO text,
+# different cache keys; stable under PYTHONHASHSEED=0).  Pin the seed
+# so warm runs actually hit the cache instead of recompiling ~20 min
+# of prover stages through the TPU tunnel.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 # Do not clobber the axon TPU plugin path; just make qzk importable.
 sys.path.insert(0, _HERE)

@@ -227,6 +227,25 @@ class DeviceProverContext:
         self.shift_inv_pows = gj.from_u64(
             ntt_mod.powers(pow(gl.GENERATOR, gl.P - 2, gl.P), lde_size)
         )
+        self.k_is_dev = gj.from_u64(common.k_is)
+
+        # The big per-circuit device arrays travel as jit ARGUMENTS (a
+        # pytree), not closure captures: captured concrete arrays get
+        # baked into the module as literal constants, which bloats the
+        # serialized executables ~10x (the preprocessed LDE alone is
+        # tens of MB), slowing compiles, the persistent-cache loads on
+        # a fresh process, and tripping compile-worker memory caps.
+        self.C = dict(
+            pre_lde=self.pre_lde,
+            pre_coeffs=self.pre_coeffs,
+            id_enc=self.id_enc,
+            sigma_enc=self.sigma_enc,
+            coset_points=self.coset_points,
+            z_h_inv_full=self.z_h_inv_full,
+            l1=self.l1,
+            shift_inv_pows=self.shift_inv_pows,
+            k_is=self.k_is_dev,
+        )
 
         # --- compiled stages ---------------------------------------------
         plan = ntt_mod.get_plan(common.degree_bits)
@@ -249,17 +268,17 @@ class DeviceProverContext:
         n_chunks = common.num_chunks
         n_pp = common.num_partial_products
 
-        def zs_stage(w_routed, betas, gammas):
+        def zs_stage(w_routed, betas, gammas, cst):
             """(N, 80) routed wires -> (num_zs_pp, N) Z / partial-product
             columns (prover.py step 3, Hillis-Steele prefix products)."""
             rows = []
             for c in range(cfg.num_challenges):
                 beta, gamma = betas[c], gammas[c]
                 nums = gj.add(
-                    gj.add(w_routed, gj.mul(beta, self.id_enc)), gamma
+                    gj.add(w_routed, gj.mul(beta, cst["id_enc"])), gamma
                 )
                 dens = gj.add(
-                    gj.add(w_routed, gj.mul(beta, self.sigma_enc)), gamma
+                    gj.add(w_routed, gj.mul(beta, cst["sigma_enc"])), gamma
                 )
                 ratios = gj.mul(nums, gj.batch_inverse_axis(dens, axis=1))
                 chunk_prods = []
@@ -288,9 +307,8 @@ class DeviceProverContext:
         rate = 1 << rate_bits
         deg_cap = cfg.max_quotient_degree_factor * N
 
-        self.k_is_dev = gj.from_u64(common.k_is)
-
-        def quotient_stage(wires_lde, zs_lde, pi_hash, betas, gammas, alphas):
+        def quotient_stage(wires_lde, zs_lde, pi_hash, betas, gammas,
+                           alphas, cst):
             zs_at, zs_right, partials_at = [], [], []
             for c in range(cfg.num_challenges):
                 base = c * (1 + n_pp)
@@ -299,13 +317,14 @@ class DeviceProverContext:
                 partials_at.append(
                     [zs_lde[base + 1 + k] for k in range(n_pp)]
                 )
+            pre_lde = cst["pre_lde"]
             vanishing = eval_vanishing_jax(
                 common,
-                self.coset_points,
+                cst["coset_points"],
                 wires_lde,
-                self.pre_lde[:n_sel],
-                self.pre_lde[n_sel : n_sel + n_const],
-                self.pre_lde[n_sel + n_const :],
+                pre_lde[:n_sel],
+                pre_lde[n_sel : n_sel + n_const],
+                pre_lde[n_sel + n_const :],
                 zs_at,
                 zs_right,
                 partials_at,
@@ -313,14 +332,14 @@ class DeviceProverContext:
                 betas,
                 gammas,
                 alphas,
-                self.l1,
-                self.k_is_dev,
+                cst["l1"],
+                cst["k_is"],
             )
             q_rows = []
             tail_ok = jnp.bool_(True)
             for c in range(cfg.num_challenges):
-                qv = gj.mul(vanishing[c], self.z_h_inv_full)
-                q_coeffs = gj.mul(lde_plan.intt(qv), self.shift_inv_pows)
+                qv = gj.mul(vanishing[c], cst["z_h_inv_full"])
+                q_coeffs = gj.mul(lde_plan.intt(qv), cst["shift_inv_pows"])
                 tail_ok = jnp.logical_and(
                     tail_ok, (q_coeffs[deg_cap - N :] == 0).all()
                 )
@@ -339,11 +358,11 @@ class DeviceProverContext:
             return jnp.stack([c0, c1], axis=-1)
 
         def openings_stage(wires_coeffs, zs_coeffs, quotient_coeffs,
-                           zeta, zeta_right):
+                           zeta, zeta_right, cst):
             pows = gj.ext_powers(zeta, N)
             pows_r = gj.ext_powers(zeta_right, N)
             return (
-                eval_polys_ext(self.pre_coeffs, pows),
+                eval_polys_ext(cst["pre_coeffs"], pows),
                 eval_polys_ext(wires_coeffs, pows),
                 eval_polys_ext(zs_coeffs, pows),
                 eval_polys_ext(quotient_coeffs, pows),
@@ -353,7 +372,7 @@ class DeviceProverContext:
         self._openings_raw = openings_stage
         self._openings_stage = jax.jit(openings_stage)
 
-        def fri_input_one(lde_rows, apows, reduced_claim, z):
+        def fri_input_one(lde_rows, apows, reduced_claim, z, coset_points):
             """alpha-combined (F(x) - F(z)) / (x - z) over the coset."""
             comb0 = gj.sum_mod(gj.mul(lde_rows, apows[:, 0:1]), axis=0)
             comb1 = gj.sum_mod(gj.mul(lde_rows, apows[:, 1:2]), axis=0)
@@ -363,7 +382,7 @@ class DeviceProverContext:
             )
             den = jnp.stack(
                 [
-                    gj.sub(self.coset_points, z[0]),
+                    gj.sub(coset_points, z[0]),
                     jnp.broadcast_to(gj.neg(z[1]), (lde_size,)),
                 ],
                 axis=-1,
@@ -372,12 +391,13 @@ class DeviceProverContext:
 
         def fri_input_stage(wires_lde, zs_lde, quotient_lde,
                             apows_all, claim_all, zeta,
-                            apows_zs, claim_zs, zeta_right):
+                            apows_zs, claim_zs, zeta_right, cst):
             all_lde = jnp.concatenate(
-                [self.pre_lde, wires_lde, zs_lde, quotient_lde], axis=0
+                [cst["pre_lde"], wires_lde, zs_lde, quotient_lde], axis=0
             )
-            G = fri_input_one(all_lde, apows_all, claim_all, zeta)
-            G2 = fri_input_one(zs_lde, apows_zs, claim_zs, zeta_right)
+            cp = cst["coset_points"]
+            G = fri_input_one(all_lde, apows_all, claim_all, zeta, cp)
+            G2 = fri_input_one(zs_lde, apows_zs, claim_zs, zeta_right, cp)
             return gj.ext_add(G, G2)
 
         self._fri_input_raw = fri_input_stage
@@ -485,7 +505,7 @@ class DeviceProverContext:
                 ]
             )
 
-        def pipeline(wire_matrix_dev, pi_hash_dev, salts):
+        def pipeline(wire_matrix_dev, pi_hash_dev, salts, cst):
             ch = DeviceChallenger()
             # 2. commit wires
             w_coeffs, w_lde, w_leaves, w_levels = self._commit_raw(
@@ -498,7 +518,8 @@ class DeviceProverContext:
             gammas = ch.get_n_challenges(cfg.num_challenges)
             # 3. permutation argument
             zs_pp = self._zs_raw(
-                wire_matrix_dev[:, : cfg.num_routed_wires], betas, gammas
+                wire_matrix_dev[:, : cfg.num_routed_wires], betas, gammas,
+                cst,
             )
             zs_coeffs, zs_lde, z_leaves, z_levels = self._commit_raw(
                 zs_pp, salts[1] if salted else None
@@ -507,7 +528,7 @@ class DeviceProverContext:
             alphas = ch.get_n_challenges(cfg.num_challenges)
             # 4. quotient
             q_coeffs, q_lde, tail_ok = self._quotient_raw(
-                w_lde, zs_lde, pi_hash_dev, betas, gammas, alphas
+                w_lde, zs_lde, pi_hash_dev, betas, gammas, alphas, cst
             )
             q_leaves = (
                 jnp.concatenate([q_lde.T, salts[2]], axis=1)
@@ -520,7 +541,7 @@ class DeviceProverContext:
             zeta_right = gj.ext_mul(zeta, g_ext)
             # 5. openings
             opened = self._openings_raw(
-                w_coeffs, zs_coeffs, q_coeffs, zeta, zeta_right
+                w_coeffs, zs_coeffs, q_coeffs, zeta, zeta_right, cst
             )
             zeta_claims = jnp.concatenate(opened[:4])
             ch.observe_elements(zeta_claims)
@@ -538,6 +559,7 @@ class DeviceProverContext:
                 apows_zs,
                 ext_reduce(opened[4], apows_zs),
                 zeta_right,
+                cst,
             )
             # FRI commit phase
             shift = gl.GENERATOR
@@ -725,7 +747,7 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
         else (None, None, None)
     )
     out = ctx.full_pipeline(salted)(
-        gj.from_u64(wire_matrix), jnp.asarray(pi_hash), salts
+        gj.from_u64(wire_matrix), jnp.asarray(pi_hash), salts, ctx.C
     )
 
     def dev_tree(pair):
@@ -895,6 +917,7 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         wire_matrix_dev[:, : cfg.num_routed_wires],
         jnp.asarray(betas),
         jnp.asarray(gammas),
+        ctx.C,
     )
     zs_coeffs, zs_lde, zs_tree = commit(zs_pp)
     timer.mark("permutation Zs+commit (device)")
@@ -909,6 +932,7 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         jnp.asarray(betas),
         jnp.asarray(gammas),
         jnp.asarray(alphas),
+        ctx.C,
     )
     if not bool(tail_ok):
         raise ValueError(
@@ -936,6 +960,7 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         quotient_coeffs,
         jnp.asarray(zeta),
         jnp.asarray(zeta_right),
+        ctx.C,
     )
     openings = Openings(
         preprocessed=gj.to_u64(opened[0]),
@@ -980,6 +1005,7 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         gj.from_u64(apows_zs),
         gj.from_u64(reduce_claims(openings.zs_partial_right)),
         gj.from_u64(zeta_right),
+        ctx.C,
     )
     timer.mark("FRI input poly (device)")
 

@@ -10,6 +10,13 @@ run compute.  Set QZK_TEST_TPU=1 to run the suite on the real chip.
 
 import os
 
+# NB: running pytest with PYTHONHASHSEED=0 makes the persistent XLA
+# compile cache reusable across runs (multi-kernel module serialization
+# is hash-order sensitive; see bench.py, which re-execs itself).  A
+# conftest-level re-exec is NOT safe — pytest has already captured the
+# stdout fds by the time conftests load — so CI sets the env var
+# instead (.github/workflows/ci.yml).
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"

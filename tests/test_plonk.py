@@ -198,3 +198,31 @@ class TestZeroKnowledgeConfig:
         proof = data.prove(pw)
         assert list(proof.public_inputs) == [36]
         data.verify(proof)
+
+
+class TestProofByteTamperSweep:
+    """Random proof-BYTE tamper sweep (the reference keeps an ignored
+    exhaustive variant, verifier_tests.rs:69-91): flipping any byte of
+    a serialized proof must make it undeserializable or unverifiable."""
+
+    N_FLIPS = 32
+
+    def test_random_proof_byte_flips_all_fail(self):
+        data, x = build_square_circuit()
+        pw = PartialWitness()
+        pw.set_target(x, 9)
+        proof = data.prove(pw)
+        blob = bytearray(proof.to_bytes())
+        rng = np.random.default_rng(0xB17E)
+        positions = rng.choice(len(blob), size=self.N_FLIPS, replace=False)
+        for pos in positions:
+            tampered = bytearray(blob)
+            tampered[pos] ^= 0xA5
+            try:
+                restored = ProofWithPublicInputs.from_bytes(
+                    bytes(tampered), data.common
+                )
+            except Exception:
+                continue  # rejected at deserialization
+            with pytest.raises((VerificationError, ValueError, KeyError)):
+                data.verify(restored)
