@@ -81,6 +81,13 @@ def _emit_and_exit(code=0):
                     "vs_baseline": round(
                         ESTIMATED_RUST_PROVE_S / _best["value"], 4
                     ),
+                    # which pipeline produced the recorded minimum —
+                    # "host" (numpy fallback), "device-cold" (first TPU
+                    # prove incl. compile/cache-load), or "device-warm".
+                    # A host-stage result means the TPU phase failed or
+                    # ran out of budget; it must never be read as a TPU
+                    # number (VERDICT r2 weak #5).
+                    "stage": _best["stage"],
                 }
             ),
             flush=True,

@@ -74,6 +74,31 @@ def _pad_rows(a: np.ndarray, d: int) -> np.ndarray:
     )
 
 
+def mesh_preconditions_ok(common, mesh: Mesh) -> bool:
+    """True iff this (circuit, mesh) pair satisfies every divisibility
+    constraint the sharded pipeline assumes.  Callers (plonk.prover)
+    fall back to the single-device pipeline when this is False instead
+    of crashing inside shard_map with an opaque reshape error."""
+    cfg = common.config
+    fri_cfg = cfg.fri_config
+    d = mesh.devices.size
+    N = common.degree
+    M = common.lde_size
+    return (
+        d >= 1
+        and (d & (d - 1)) == 0  # power of two
+        and d <= 1 << fri_cfg.cap_height  # divides the Merkle cap width
+        and cfg.max_quotient_degree_factor % d == 0
+        and N % d == 0
+        and N >= d
+        # the sharded quotient stage reshapes per-device M/d coefficient
+        # chunks into (nc, factor/d, N): requires rate == quotient factor
+        and M == cfg.max_quotient_degree_factor * N
+        # zs ppermute halo needs a full blowup block per device
+        and M // d >= 1 << fri_cfg.rate_bits
+    )
+
+
 class ShardedProverContext:
     """Per-(circuit, mesh) sharded constants + jitted stage functions."""
 
@@ -93,6 +118,11 @@ class ShardedProverContext:
         )
         assert cfg.max_quotient_degree_factor % d == 0, (
             "mesh size must divide the quotient degree factor"
+        )
+        assert common.lde_size == cfg.max_quotient_degree_factor * common.degree, (
+            "sharded quotient stage assumes rate == max_quotient_degree_factor "
+            f"(lde_size={common.lde_size}, factor={cfg.max_quotient_degree_factor}, "
+            f"degree={common.degree}); use the single-device pipeline"
         )
         self.log_d = log_d
         N = common.degree

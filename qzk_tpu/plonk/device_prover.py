@@ -877,7 +877,13 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
                 stacklevel=2,
             )
             prover_only._fused_broken = True
-            _mark_fused_broken()
+            # Persist the fallback across processes only for
+            # compile-time failures; a transient runtime error (device
+            # OOM, preemption) should not permanently degrade the
+            # deployment to the staged path.
+            msg = str(e).lower()
+            if any(k in msg for k in ("compil", "mlir", "module", "hlo")):
+                _mark_fused_broken()
     cfg = common.config
     fri_cfg = cfg.fri_config
     N = common.degree

@@ -197,11 +197,24 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
 
     mesh = _parallel.active_mesh()
     if mesh is not None and mesh.devices.size > 1:
-        from ..parallel.prover_sharded import sharded_prove
+        from ..parallel.prover_sharded import (
+            mesh_preconditions_ok,
+            sharded_prove,
+        )
 
-        return sharded_prove(
-            common, prover_only, wire_matrix, public_inputs, pi_hash,
-            fresh_salt, _t, mesh,
+        if mesh_preconditions_ok(common, mesh):
+            return sharded_prove(
+                common, prover_only, wire_matrix, public_inputs, pi_hash,
+                fresh_salt, _t, mesh,
+            )
+        import warnings
+
+        warnings.warn(
+            f"circuit (degree {N}) does not satisfy the sharded-prove "
+            f"divisibility preconditions for a {mesh.devices.size}-device "
+            "mesh; falling back to the single-device pipeline",
+            RuntimeWarning,
+            stacklevel=2,
         )
 
     if _device_pipeline_wanted(N):

@@ -60,11 +60,15 @@ def synthesize_storage_proof():
     exact node structure, sizes and hash indices of the reference
     fixture (test-helpers/src/lib.rs:68-80).
 
-    With the recovered qp-plonky2 round-constant table this equals the
-    raw captured fixture byte-for-byte; kept as an independent
-    construction check of the chain structure: node[i] embeds
-    H(pad188(felts(node[i+1]))) at byte offset indices[i]/2, the leaf
-    node embeds H(leaf_inputs), and the root is H(pad188(node[0])).
+    NOT byte-identical to the raw captured fixture: element 0 of the
+    embedded leaf digest (the "first nibble" element the circuit never
+    checks, storage_proof/mod.rs:232-240) differs by construction and
+    cascades through every parent node.  Both fixtures prove and verify
+    (tests/test_wormhole.py::test_reference_fixture_end_to_end covers
+    the raw capture); this one is an independent construction check of
+    the chain structure: node[i] embeds H(pad188(felts(node[i+1]))) at
+    byte offset indices[i]/2, the leaf node embeds H(leaf_inputs), and
+    the root is H(pad188(node[0])).
 
     Returns (processed_proof, root_hash_bytes, leaf_inputs_hash).
     """

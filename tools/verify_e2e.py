@@ -12,6 +12,7 @@ from qzk_tpu.plonk.config import CircuitConfig
 from qzk_tpu.utils.serialization import circuit_data_to_bytes, circuit_data_from_bytes
 
 CACHE = "/root/repo/.cache/wormhole_circuit.bin"
+os.makedirs(os.path.dirname(CACHE), exist_ok=True)
 cfg = CircuitConfig.standard_recursion_config()
 c = WormholeCircuit(cfg)
 targets = c.targets()
