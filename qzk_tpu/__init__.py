@@ -34,7 +34,10 @@ _cache_dir = _os.environ.get(
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even sub-second compiles: on this host every compile goes
+    # through a slow remote tunnel, so dozens of ~0.4 s eager-op
+    # compiles per fresh process add up to minutes
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:  # cache is best-effort
     pass
 

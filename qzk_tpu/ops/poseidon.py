@@ -102,6 +102,13 @@ def permute(state: np.ndarray) -> np.ndarray:
     state = np.asarray(state, dtype=np.uint64)
     assert state.shape[-1] == WIDTH
     if state.ndim == 1:
+        # the C++ kernel beats the python-int path ~100x even for a
+        # single state (dominates the verifier's transcript replay)
+        from .. import native
+
+        out = native.poseidon_permute_batch(state[None])
+        if out is not None:
+            return out[0]
         return _permute_scalar(state)
     if state.ndim == 2 and state.shape[0] >= 8:
         from .. import native

@@ -89,6 +89,57 @@ class ExtAlgebra:
         return self.const(int(v))
 
 
+class PyExtAlgebra:
+    """Quadratic-extension scalars as python-int pairs (c0, c1).
+
+    Same semantics as ExtAlgebra (x^2 = 7) but ~20x faster for the
+    verifier's single-point vanishing evaluation: the ~30k field ops of
+    the gate-constraint walk cost microseconds each as native ints vs
+    numpy-scalar dispatch overhead.  Convert at the boundary with
+    to_pair/from_pair."""
+
+    P = gl.P
+
+    @staticmethod
+    def to_pair(a) -> tuple:
+        a = np.asarray(a, dtype=np.uint64)
+        return (int(a[0]), int(a[1]))
+
+    @staticmethod
+    def from_pair(t) -> np.ndarray:
+        return np.array([t[0] % gl.P, t[1] % gl.P], dtype=np.uint64)
+
+    def const(self, v: int):
+        return (v % gl.P, 0)
+
+    def add(self, a, b):
+        return ((a[0] + b[0]) % gl.P, (a[1] + b[1]) % gl.P)
+
+    def sub(self, a, b):
+        return ((a[0] - b[0]) % gl.P, (a[1] - b[1]) % gl.P)
+
+    def mul(self, a, b):
+        a0, a1 = a
+        b0, b1 = b
+        return (
+            (a0 * b0 + 7 * a1 * b1) % gl.P,
+            (a0 * b1 + a1 * b0) % gl.P,
+        )
+
+    def mul_const(self, c: int, x):
+        c %= gl.P
+        return (c * x[0] % gl.P, c * x[1] % gl.P)
+
+    def zero(self):
+        return (0, 0)
+
+    def one(self):
+        return (1, 0)
+
+    def lift(self, v):
+        return self.const(int(v))
+
+
 class JaxAlgebra:
     """Device base-field vectors (jnp uint64) for the jitted coset
     evaluation path."""

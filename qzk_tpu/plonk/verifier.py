@@ -18,7 +18,7 @@ from ..ops import poseidon as pos
 from ..ops.transcript import Challenger
 from . import fri as fri_mod
 from .fri import VerificationError
-from .gates import ExtAlgebra
+from .gates import PyExtAlgebra
 from .proof import ProofWithPublicInputs
 from .vanishing import eval_vanishing
 
@@ -53,46 +53,54 @@ def verify(common, verifier_only, pwpi: ProofWithPublicInputs) -> None:
     fri_alpha = challenger.get_extension_challenge()
 
     # -- vanishing identity at zeta ----------------------------------------
-    alg = ExtAlgebra()
+    # PyExtAlgebra (python-int pairs) instead of numpy scalars: the
+    # ~30k-field-op constraint walk drops from ~1 s to ~50 ms, keeping
+    # the verifier near the reference's milliseconds-class profile
+    # (SURVEY.md §3.2).
+    alg = PyExtAlgebra()
     n_sel = common.num_selectors
     n_const = cfg.num_constants
     zpp = common.num_partial_products
 
+    pair = alg.to_pair
     zs = []
     zs_right = []
     partials = []
     for c in range(cfg.num_challenges):
         base = c * (1 + zpp)
-        zs.append(o.zs_partial[base])
-        zs_right.append(o.zs_partial_right[base])
-        partials.append([o.zs_partial[base + 1 + k] for k in range(zpp)])
+        zs.append(pair(o.zs_partial[base]))
+        zs_right.append(pair(o.zs_partial_right[base]))
+        partials.append(
+            [pair(o.zs_partial[base + 1 + k]) for k in range(zpp)]
+        )
 
     # L1(zeta) = (zeta^N - 1) / (N (zeta - 1)); Z_H(zeta) = zeta^N - 1
     zeta_pow_n = gl.ext_exp(zeta, N)
-    one = alg.one()
+    one = np.array([1, 0], dtype=np.uint64)
     z_h = gl.ext_sub(zeta_pow_n, one)
     denom = gl.ext_mul(
         np.array([N % gl.P, 0], dtype=np.uint64), gl.ext_sub(zeta, one)
     )
     l1 = gl.ext_mul(z_h, fri_mod.ext_inverse_vec(denom[None])[0])
 
-    vanishing = eval_vanishing(
+    vanishing_py = eval_vanishing(
         common,
         alg,
-        zeta,
-        o.wires,
-        o.preprocessed[:n_sel],
-        o.preprocessed[n_sel : n_sel + n_const],
-        o.preprocessed[n_sel + n_const :],
+        pair(zeta),
+        [pair(w) for w in o.wires],
+        [pair(s) for s in o.preprocessed[:n_sel]],
+        [pair(c_) for c_ in o.preprocessed[n_sel : n_sel + n_const]],
+        [pair(s) for s in o.preprocessed[n_sel + n_const :]],
         zs,
         zs_right,
         partials,
-        [np.array([h, 0], dtype=np.uint64) for h in pi_hash],
+        [(int(h), 0) for h in pi_hash],
         betas,
         gammas,
         alphas,
-        l1,
+        pair(l1),
     )
+    vanishing = [alg.from_pair(v) for v in vanishing_py]
 
     # recombine quotient chunks: q_c(zeta) = sum_t zeta^{tN} chunk_{c,t}
     zeta_n = zeta_pow_n
@@ -134,11 +142,11 @@ def verify(common, verifier_only, pwpi: ProofWithPublicInputs) -> None:
     gzeta_cols = off_zs + np.arange(n_zs)
 
     def reduce_claims(claims):
-        acc = np.zeros(2, dtype=np.uint64)
-        for v in claims[::-1]:
-            acc = gl.ext_mul(acc, fri_alpha)
-            acc = gl.ext_add(acc, v)
-        return acc
+        fa = alg.to_pair(fri_alpha)
+        acc = alg.zero()
+        for v in np.asarray(claims, dtype=np.uint64)[::-1]:
+            acc = alg.add(alg.mul(acc, fa), (int(v[0]), int(v[1])))
+        return alg.from_pair(acc)
 
     zeta_claims = np.concatenate(
         [o.preprocessed, o.wires, o.zs_partial, o.quotient]

@@ -116,6 +116,67 @@ class TestTreeAggregation:
         assert list(agg.proof.public_inputs) == [9, 49]
 
 
+@pytest.mark.skipif(
+    os.environ.get("QZK_SLOW_TESTS") != "1",
+    reason="wormhole-shaped recursion is ~10+ min on the CPU backend; "
+    "set QZK_SLOW_TESTS=1",
+)
+class TestWormholeAggregation:
+    """Aggregation of REAL Wormhole proofs (aggregator_tests.rs:60-91),
+    not a toy circuit: two zk Wormhole proofs with distinct exit
+    accounts aggregated as a (2,1) tree, PI propagation checked via
+    try_from_aggregated.  tools/aggregate_wormhole.py runs the same
+    flow standalone (plus the 2x3 dummy-padded default tree with
+    QZK_AGG_FULL=1)."""
+
+    def test_aggregate_two_wormhole_proofs(self):
+        import dataclasses
+
+        from fixtures import synthetic_circuit_inputs
+
+        from qzk_tpu.models.wormhole.aggregator import aggregate_to_tree
+        from qzk_tpu.models.wormhole.circuit import WormholeCircuit
+        from qzk_tpu.models.wormhole.prover import WormholeProver
+        from qzk_tpu.utils import codec
+
+        cfg = CircuitConfig.standard_recursion_zk_config()
+        circuit = WormholeCircuit(cfg)
+        targets = circuit.targets()
+        data = circuit.build_circuit()
+        proofs = []
+        for exit_byte in (0x04, 0x05):
+            inputs = synthetic_circuit_inputs()
+            inputs = dataclasses.replace(
+                inputs,
+                public=dataclasses.replace(
+                    inputs.public,
+                    exit_account=codec.BytesDigest(
+                        bytes([exit_byte] * 32)
+                    ),
+                ),
+            )
+            prover = WormholeProver(
+                cfg, _circuit_data=data.prover_data(), _targets=targets
+            )
+            proofs.append(prover.commit(inputs).prove())
+        agg = aggregate_to_tree(
+            list(proofs),
+            data.common,
+            data.verifier_only,
+            TreeAggregationConfig.new(2, 1),
+        )
+        agg.circuit_data.verify(agg.proof)
+        want = np.concatenate(
+            [np.asarray(p.public_inputs) for p in proofs]
+        )
+        assert np.array_equal(np.asarray(agg.proof.public_inputs), want)
+        parsed = PublicCircuitInputs.try_from_aggregated(
+            agg.proof, 16, 2
+        )
+        assert bytes(parsed[0].exit_account) == bytes([0x04] * 32)
+        assert bytes(parsed[1].exit_account) == bytes([0x05] * 32)
+
+
 class TestChunkCircuitCache:
     def test_memoized_per_digest_and_branching(self, monkeypatch):
         """build_chunk_circuit builds each (child shape, branching)
