@@ -28,6 +28,12 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # the container sitecustomize force-registers the axon TPU platform
+    # at interpreter boot; honor an explicit JAX_PLATFORMS=cpu request
+    # the same way tests/conftest.py does (env alone is not enough)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     import qzk_tpu  # noqa: F401

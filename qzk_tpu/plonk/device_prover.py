@@ -235,6 +235,8 @@ class DeviceProverContext:
         # serialized executables ~10x (the preprocessed LDE alone is
         # tens of MB), slowing compiles, the persistent-cache loads on
         # a fresh process, and tripping compile-worker memory caps.
+        ptab_n = ntt_mod.pease_tables(common.degree_bits)
+        ptab_m = ntt_mod.pease_tables(common.lde_bits)
         self.C = dict(
             pre_lde=self.pre_lde,
             pre_coeffs=self.pre_coeffs,
@@ -245,15 +247,28 @@ class DeviceProverContext:
             l1=self.l1,
             shift_inv_pows=self.shift_inv_pows,
             k_is=self.k_is_dev,
+            # constant-geometry NTT tables (ntt_mod.*_pease): as jit
+            # ARGUMENTS so they never bake into executables as literals
+            ntt=dict(
+                twinv_n=gj.from_u64(ptab_n["twinv"]),
+                tw_m=gj.from_u64(ptab_m["tw"]),
+                twinv_m=gj.from_u64(ptab_m["twinv"]),
+                shift_n=gj.from_u64(
+                    ntt_mod.powers(gl.GENERATOR, N)
+                ),
+            ),
         )
 
         # --- compiled stages ---------------------------------------------
-        plan = ntt_mod.get_plan(common.degree_bits)
-        lde_plan = ntt_mod.get_plan(common.lde_bits)
 
-        def commit(values, salt):
-            coeffs = plan.intt(values)
-            lde = ntt_mod.coset_lde_jax(coeffs, rate_bits)
+        def commit(values, salt, cst):
+            nt = cst["ntt"]
+            coeffs = ntt_mod.intt_pease(
+                values, nt["twinv_n"], log_n=common.degree_bits
+            )
+            lde = ntt_mod.coset_lde_pease(
+                coeffs, rate_bits, nt["shift_n"], nt["tw_m"]
+            )
             leaves = lde.T if salt is None else jnp.concatenate(
                 [lde.T, salt], axis=1
             )
@@ -261,8 +276,28 @@ class DeviceProverContext:
             return coeffs, lde, leaves, levels
 
         self._commit_raw = commit
-        self._commit_salted = jax.jit(lambda v, s: commit(v, s))
-        self._commit_plain = jax.jit(lambda v: commit(v, None))
+        self._commit_salted = jax.jit(lambda v, s, c: commit(v, s, c))
+        self._commit_plain = jax.jit(lambda v, c: commit(v, None, c))
+
+        # leaf-matrix -> Merkle levels as ONE executable (the quotient
+        # tree commits from an already-computed LDE).  Building the
+        # levels eagerly costs ~120 separate tiny XLA executables
+        # (pallas wrapper glue per level), and on this deployment every
+        # per-process executable LOAD is a ~1 s round trip through the
+        # axon tunnel — the count, not the compute, was the bulk of the
+        # fresh-process first-prove latency.
+        def commit_leaves(lde_t, salt):
+            leaves = lde_t if salt is None else jnp.concatenate(
+                [lde_t, salt], axis=1
+            )
+            return leaves, mk.build_merkle_levels_jax(leaves, cap_height)
+
+        self._commit_leaves_salted = jax.jit(
+            lambda lt, s: commit_leaves(lt, s)
+        )
+        self._commit_leaves_plain = jax.jit(
+            lambda lt: commit_leaves(lt, None)
+        )
 
         chunk = common.chunk_size
         n_chunks = common.num_chunks
@@ -337,16 +372,24 @@ class DeviceProverContext:
             )
             q_rows = []
             tail_ok = jnp.bool_(True)
+            nt = cst["ntt"]
             for c in range(cfg.num_challenges):
                 qv = gj.mul(vanishing[c], cst["z_h_inv_full"])
-                q_coeffs = gj.mul(lde_plan.intt(qv), cst["shift_inv_pows"])
+                q_coeffs = gj.mul(
+                    ntt_mod.intt_pease(
+                        qv, nt["twinv_m"], log_n=common.lde_bits
+                    ),
+                    cst["shift_inv_pows"],
+                )
                 tail_ok = jnp.logical_and(
                     tail_ok, (q_coeffs[deg_cap - N :] == 0).all()
                 )
                 for t in range(cfg.max_quotient_degree_factor):
                     q_rows.append(q_coeffs[t * N : (t + 1) * N])
             quotient_coeffs = jnp.stack(q_rows)
-            quotient_lde = ntt_mod.coset_lde_jax(quotient_coeffs, rate_bits)
+            quotient_lde = ntt_mod.coset_lde_pease(
+                quotient_coeffs, rate_bits, nt["shift_n"], nt["tw_m"]
+            )
             return quotient_coeffs, quotient_lde, tail_ok
 
         self._quotient_raw = quotient_stage
@@ -509,7 +552,7 @@ class DeviceProverContext:
             ch = DeviceChallenger()
             # 2. commit wires
             w_coeffs, w_lde, w_leaves, w_levels = self._commit_raw(
-                wire_matrix_dev.T, salts[0] if salted else None
+                wire_matrix_dev.T, salts[0] if salted else None, cst
             )
             ch.observe_elements(digest)
             ch.observe_elements(pi_hash_dev)
@@ -522,7 +565,7 @@ class DeviceProverContext:
                 cst,
             )
             zs_coeffs, zs_lde, z_leaves, z_levels = self._commit_raw(
-                zs_pp, salts[1] if salted else None
+                zs_pp, salts[1] if salted else None, cst
             )
             ch.observe_cap(z_levels[-1])
             alphas = ch.get_n_challenges(cfg.num_challenges)
@@ -899,10 +942,12 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
     def commit(values_dev):
         salt = fresh_salt(lde_size, device=True)
         if salt is None:
-            coeffs, lde, leaves, levels = ctx._commit_plain(values_dev)
+            coeffs, lde, leaves, levels = ctx._commit_plain(
+                values_dev, ctx.C
+            )
         else:
             coeffs, lde, leaves, levels = ctx._commit_salted(
-                values_dev, salt
+                values_dev, salt, ctx.C
             )
         return coeffs, lde, dev_tree(leaves, levels)
 
@@ -947,12 +992,12 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         )
     salt_q = fresh_salt(lde_size, device=True)
     if salt_q is None:
-        q_leaves = quotient_lde.T
+        q_leaves, q_levels = ctx._commit_leaves_plain(quotient_lde.T)
     else:
-        q_leaves = jnp.concatenate([quotient_lde.T, salt_q], axis=1)
-    quotient_tree = dev_tree(
-        q_leaves, mk.build_merkle_levels_jax(q_leaves, cap_height)
-    )
+        q_leaves, q_levels = ctx._commit_leaves_salted(
+            quotient_lde.T, salt_q
+        )
+    quotient_tree = dev_tree(q_leaves, q_levels)
     timer.mark("quotient eval+commit (device)")
     challenger.observe_cap(quotient_tree.cap)
     zeta = challenger.get_extension_challenge()

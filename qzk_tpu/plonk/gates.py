@@ -353,8 +353,13 @@ class PoseidonGate(Gate):
     def eval_constraints_jax(self, wires_mat, const_mat, pi_hash):
         """Stacked device evaluation, (123, M) rows in eval_constraints
         order.  The MDS layer runs as one small-int accumulation over a
-        (12, M) state matrix (poseidon_jax._mds transposed) instead of
-        144 scalar ops — keeps the jit trace ~500 eqns instead of ~100k."""
+        (12, M) state matrix; the three homogeneous round sections
+        (full rounds 1..3, the 22 partial rounds, full rounds 0..3 of
+        the second half) run as lax.scan loops — the 30-round trace
+        would otherwise unroll into the dominant share of the quotient
+        stage's serialized executable, and executable bytes are the
+        fresh-process load latency on this deployment."""
+        import jax
         import jax.numpy as jnp
 
         from ..ops import goldilocks_jax as gj
@@ -392,36 +397,58 @@ class PoseidonGate(Gate):
             [gj.add(ins[:4], deltas), gj.sub(ins[4:8], deltas), ins[8:W]]
         )
 
-        def rc(r):
-            return jnp.asarray(RC[r])[:, None]
+        rc_all = jnp.asarray(RC)  # (30, 12)
 
-        pre = gj.add(state, rc(0))
+        pre = gj.add(state, rc_all[0][:, None])
         state = mds(x7(pre))
-        for r in range(1, 4):
-            pre = gj.add(state, rc(r))
-            stored = wires_mat[
-                np.array([self.wire_full0(r, i) for i in range(W)])
-            ]
-            sc = gj.sub(stored, pre)
-            rows.extend(sc[i] for i in range(W))
-            state = mds(x7(stored))
-        for pr in range(pos.N_PARTIAL_ROUNDS):
-            r = 4 + pr
-            pre = gj.add(state, rc(r))
-            stored = wires_mat[self.wire_partial(pr)]
-            rows.append(gj.sub(stored, pre[0]))
-            state = mds(
+
+        # full rounds 1..3 (stored sbox inputs): scan over rounds
+        f0_idx = np.array(
+            [[self.wire_full0(r, i) for i in range(W)] for r in range(1, 4)]
+        )
+        f0_stored = wires_mat[f0_idx.ravel()].reshape(3, W, -1)
+
+        def full_body(st, xs):
+            rc_r, stored = xs
+            pre = gj.add(st, rc_r[:, None])
+            return mds(x7(stored)), gj.sub(stored, pre)
+
+        state, f0_rows = jax.lax.scan(
+            full_body, state, (rc_all[1:4], f0_stored)
+        )
+        rows.extend(f0_rows.reshape(3 * W, -1))
+
+        # partial rounds: scan (stored lane-0 sbox inputs)
+        p_idx = np.array(
+            [self.wire_partial(pr) for pr in range(pos.N_PARTIAL_ROUNDS)]
+        )
+        p_stored = wires_mat[p_idx]  # (22, M)
+
+        def partial_body(st, xs):
+            rc_r, stored = xs
+            pre = gj.add(st, rc_r[:, None])
+            nxt = mds(
                 jnp.concatenate([x7(stored)[None, :], pre[1:]])
             )
-        for r in range(4):
-            rr = 4 + pos.N_PARTIAL_ROUNDS + r
-            pre = gj.add(state, rc(rr))
-            stored = wires_mat[
-                np.array([self.wire_full1(r, i) for i in range(W)])
-            ]
-            sc = gj.sub(stored, pre)
-            rows.extend(sc[i] for i in range(W))
-            state = mds(x7(stored))
+            return nxt, gj.sub(stored, pre[0])
+
+        state, p_rows = jax.lax.scan(
+            partial_body, state,
+            (rc_all[4 : 4 + pos.N_PARTIAL_ROUNDS], p_stored),
+        )
+        rows.extend(p_rows)
+
+        # second-half full rounds: scan
+        f1_idx = np.array(
+            [[self.wire_full1(r, i) for i in range(W)] for r in range(4)]
+        )
+        f1_stored = wires_mat[f1_idx.ravel()].reshape(4, W, -1)
+        state, f1_rows = jax.lax.scan(
+            full_body, state,
+            (rc_all[4 + pos.N_PARTIAL_ROUNDS :], f1_stored),
+        )
+        rows.extend(f1_rows.reshape(4 * W, -1))
+
         outs = wires_mat[
             np.array([self.wire_out(i) for i in range(W)])
         ]

@@ -77,3 +77,41 @@ class TestJaxBitExact:
         coeffs = rng.integers(0, P, (2, 16), dtype=np.uint64)
         got = gj.to_u64(ntt.coset_lde_jax(gj.from_u64(coeffs), 3))
         assert (got == ntt.coset_lde_np(coeffs, 3)).all()
+
+
+class TestPeaseNTT:
+    """Constant-geometry scan NTT (ntt_pease/intt_pease/coset_lde_pease)
+    — the device prover's stage kernels — vs the numpy oracle."""
+
+    def test_ntt_matches_numpy(self, rng):
+        for log_n in (3, 6, 10):
+            x = rng.integers(0, P, (3, 1 << log_n), dtype=np.uint64)
+            t = ntt.pease_tables(log_n)
+            got = gj.to_u64(
+                ntt.ntt_pease(gj.from_u64(x), gj.from_u64(t["tw"]), t["rev"])
+            )
+            assert (got == ntt.ntt_np(x)).all()
+
+    def test_intt_roundtrip_and_oracle(self, rng):
+        log_n = 8
+        x = rng.integers(0, P, (2, 1 << log_n), dtype=np.uint64)
+        t = ntt.pease_tables(log_n)
+        got = gj.to_u64(
+            ntt.intt_pease(
+                gj.from_u64(x), gj.from_u64(t["twinv"]), t["rev"], log_n
+            )
+        )
+        assert (got == ntt.intt_np(x)).all()
+
+    def test_coset_lde_matches_numpy(self, rng):
+        log_n, rate = 5, 3
+        x = rng.integers(0, P, (2, 1 << log_n), dtype=np.uint64)
+        t = ntt.pease_tables(log_n + rate)
+        sp = ntt.powers(gl.GENERATOR, 1 << log_n)
+        got = gj.to_u64(
+            ntt.coset_lde_pease(
+                gj.from_u64(x), rate, gj.from_u64(sp),
+                gj.from_u64(t["tw"]), t["rev"],
+            )
+        )
+        assert (got == ntt.coset_lde_np(x, rate)).all()
