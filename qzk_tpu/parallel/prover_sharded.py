@@ -850,7 +850,7 @@ def sharded_prove(common, prover_only, wire_matrix, public_inputs,
             beta = challenger.get_extension_challenge()
             layer_values_host.append(gj.to_u64(values))
             layer_trees.append(_host_tree(leaves, levels, cap, ch))
-            values = fold_fn(groups, jnp.asarray(beta))
+            values = fold_fn(groups, s_j_inv, jnp.asarray(beta))
         shift = pow(shift, A, gl.P)
     final_values = values_host if on_host else gj.to_u64(values)
     timer.mark("FRI commit (sharded)")

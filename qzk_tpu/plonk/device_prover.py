@@ -189,20 +189,19 @@ class DeviceProverContext:
         num_routed = cfg.num_routed_wires
 
         # --- uploaded circuit constants ---------------------------------
-        self.pre_lde = gj.from_u64(prover_only.preprocessed_lde)
+        # Upload the MINIMUM: the tunnel moves data at well under
+        # 1 MB/s on this deployment, and uploading the preprocessed
+        # LDE + its Merkle leaves (~180 MB, measured as a silent
+        # ~6-minute gap per fresh process) dwarfed every other cost.
+        # Instead upload the (S, N) coefficient form (~1/8 the bytes)
+        # plus the small per-circuit vectors, and derive the LDE, the
+        # preprocessed Merkle tree, and the wire-identity encodings on
+        # device with one jitted setup call (bit-exact: same kernels as
+        # the commit path, equality with the host tree asserted).
         self.pre_coeffs = gj.from_u64(
             ntt_mod.intt_np(prover_only.preprocessed_values)
         )
-        pre_tree = prover_only.preprocessed_tree
-        self.pre_tree = DeviceTree(
-            leaves=gj.from_u64(pre_tree.leaves),
-            levels=[gj.from_u64(lv) for lv in pre_tree.levels],
-            cap=pre_tree.cap,
-        )
         g_pows = ntt_mod.powers(common.subgroup_generator(), N)
-        self.id_enc = gj.from_u64(
-            gl.mul(g_pows[:, None], common.k_is[None, :])
-        )  # (N, 80)
         self.sigma_enc = gj.from_u64(prover_only.sigma_encodings.T)  # (N, 80)
 
         coset_points = gl.mul(
@@ -228,6 +227,7 @@ class DeviceProverContext:
             ntt_mod.powers(pow(gl.GENERATOR, gl.P - 2, gl.P), lde_size)
         )
         self.k_is_dev = gj.from_u64(common.k_is)
+        self.g_pows_dev = gj.from_u64(g_pows)
 
         # The big per-circuit device arrays travel as jit ARGUMENTS (a
         # pytree), not closure captures: captured concrete arrays get
@@ -237,6 +237,52 @@ class DeviceProverContext:
         # a fresh process, and tripping compile-worker memory caps.
         ptab_n = ntt_mod.pease_tables(common.degree_bits)
         ptab_m = ntt_mod.pease_tables(common.lde_bits)
+        # Pease twiddle stage s is a subsample of stage 0
+        # (tw[s][k] = tw[0][(k >> s) << s]), so only row 0 uploads and
+        # the (m, n/2) tables expand on device.
+        def _expand_tw(tw0, m):
+            k = jnp.arange(tw0.shape[0])
+            return jnp.stack([tw0[(k >> s) << s] for s in range(m)])
+
+        # one-time device-side derivation of the big per-circuit arrays
+        # (~200 MB that would otherwise upload through the tunnel at
+        # well under 1 MB/s)
+        @jax.jit
+        def _derive(pre_coeffs, g_pows, k_is, tw0_m, twinv0_m, twinv0_n,
+                    shift_n):
+            nt = dict(
+                twinv_n=_expand_tw(twinv0_n, common.degree_bits),
+                tw_m=_expand_tw(tw0_m, common.lde_bits),
+                twinv_m=_expand_tw(twinv0_m, common.lde_bits),
+                shift_n=shift_n,
+            )
+            pre_lde = ntt_mod.coset_lde_pease(
+                pre_coeffs, rate_bits, nt["shift_n"], nt["tw_m"]
+            )
+            leaves = pre_lde.T
+            levels = mk.build_merkle_levels_jax(leaves, cap_height)
+            id_enc = gj.mul(g_pows[:, None], k_is[None, :])
+            return pre_lde, leaves, levels, id_enc, nt
+
+        pre_lde, pre_leaves, pre_levels, id_enc, ntt_tabs = _derive(
+            self.pre_coeffs,
+            self.g_pows_dev,
+            self.k_is_dev,
+            gj.from_u64(ptab_m["tw"][0]),
+            gj.from_u64(ptab_m["twinv"][0]),
+            gj.from_u64(ptab_n["twinv"][0]),
+            gj.from_u64(ntt_mod.powers(gl.GENERATOR, N)),
+        )
+        self.pre_lde = pre_lde
+        self.id_enc = id_enc
+        cap = gj.to_u64(pre_levels[-1])
+        assert (cap == prover_only.preprocessed_tree.cap).all(), (
+            "device-derived preprocessed cap != host cap"
+        )
+        self.pre_tree = DeviceTree(
+            leaves=pre_leaves, levels=list(pre_levels), cap=cap
+        )
+
         self.C = dict(
             pre_lde=self.pre_lde,
             pre_coeffs=self.pre_coeffs,
@@ -249,14 +295,7 @@ class DeviceProverContext:
             k_is=self.k_is_dev,
             # constant-geometry NTT tables (ntt_mod.*_pease): as jit
             # ARGUMENTS so they never bake into executables as literals
-            ntt=dict(
-                twinv_n=gj.from_u64(ptab_n["twinv"]),
-                tw_m=gj.from_u64(ptab_m["tw"]),
-                twinv_m=gj.from_u64(ptab_m["twinv"]),
-                shift_n=gj.from_u64(
-                    ntt_mod.powers(gl.GENERATOR, N)
-                ),
-            ),
+            ntt=ntt_tabs,
         )
 
         # --- compiled stages ---------------------------------------------
