@@ -127,8 +127,27 @@ def exp_const(a: GF, e: int) -> GF:
 
 
 def inverse(a: GF) -> GF:
-    """a^-1 via Fermat (a assumed nonzero)."""
-    return exp_const(a, P - 2)
+    """a^-1 via Fermat (a assumed nonzero).
+
+    Runs the 64-step square-and-multiply as a lax.scan over the
+    exponent bits: the unrolled chain is ~126 multiplies (~2k HLO ops)
+    and was a dominant share of several stage executables' serialized
+    size — and executable bytes are fresh-process load latency on this
+    deployment."""
+    import jax
+
+    bits = jnp.asarray(
+        np.array([(P - 2) >> i & 1 for i in range(64)], dtype=np.uint8)
+    )
+
+    def body(carry, bit):
+        result, acc = carry
+        result = jnp.where(bit != 0, mul(result, acc), result)
+        return (result, square(acc)), None
+
+    ones = jnp.full(jnp.shape(a), jnp.uint64(1))
+    (result, _), _ = jax.lax.scan(body, (ones, a), bits)
+    return result
 
 
 def powers_vec(b: GF, n: int) -> GF:
@@ -146,20 +165,28 @@ def powers_vec(b: GF, n: int) -> GF:
 
 def batch_inverse_axis(a: GF, axis: int = 0) -> GF:
     """Montgomery batch inversion along one (short, static) axis:
-    2K serial vector muls + ONE Fermat inversion instead of K of them."""
+    2K serial vector muls + ONE Fermat inversion instead of K of them.
+    Both mul chains run as lax.scans (2 compiled bodies instead of 2K
+    unrolled multiplies — executable size, see inverse())."""
+    import jax
+
     a = jnp.moveaxis(a, axis, 0)
-    k = a.shape[0]
-    prefix = []
-    acc = jnp.ones(a.shape[1:], jnp.uint64)
-    for i in range(k):
-        prefix.append(acc)
-        acc = mul(acc, a[i])
+
+    def pre_body(acc, ai):
+        return mul(acc, ai), acc
+
+    ones = jnp.ones(a.shape[1:], jnp.uint64)
+    acc, prefix = jax.lax.scan(pre_body, ones, a)
     inv_acc = inverse(acc)
-    outs = [None] * k
-    for i in range(k - 1, -1, -1):
-        outs[i] = mul(inv_acc, prefix[i])
-        inv_acc = mul(inv_acc, a[i])
-    return jnp.moveaxis(jnp.stack(outs), 0, axis)
+
+    def suf_body(inv, xs):
+        ai, pre = xs
+        return mul(inv, ai), mul(inv, pre)
+
+    _, outs_rev = jax.lax.scan(
+        suf_body, inv_acc, (a[::-1], prefix[::-1])
+    )
+    return jnp.moveaxis(outs_rev[::-1], 0, axis)
 
 
 def sum_mod(a: GF, axis: int = -1) -> GF:

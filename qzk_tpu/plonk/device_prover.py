@@ -344,7 +344,12 @@ class DeviceProverContext:
 
         def zs_stage(w_routed, betas, gammas, cst):
             """(N, 80) routed wires -> (num_zs_pp, N) Z / partial-product
-            columns (prover.py step 3, Hillis-Steele prefix products)."""
+            columns (prover.py step 3, Hillis-Steele prefix products).
+
+            Chunk products reduce as a log2(chunk) halving tree —
+            associativity is exact in the field, so the values (and the
+            proof bytes) are identical to the sequential order while the
+            graph shrinks ~chunk-fold."""
             rows = []
             for c in range(cfg.num_challenges):
                 beta, gamma = betas[c], gammas[c]
@@ -355,13 +360,23 @@ class DeviceProverContext:
                     gj.add(w_routed, gj.mul(beta, cst["sigma_enc"])), gamma
                 )
                 ratios = gj.mul(nums, gj.batch_inverse_axis(dens, axis=1))
-                chunk_prods = []
-                for k in range(n_chunks):
-                    lo, hi = k * chunk, min((k + 1) * chunk, num_routed)
-                    acc = ratios[:, lo]
-                    for j in range(lo + 1, hi):
-                        acc = gj.mul(acc, ratios[:, j])
-                    chunk_prods.append(acc)
+                if num_routed == n_chunks * chunk:
+                    t = ratios.reshape(-1, n_chunks, chunk)
+                    while t.shape[-1] > 1:
+                        if t.shape[-1] % 2:
+                            t = jnp.concatenate(
+                                [t, jnp.ones_like(t[..., :1])], axis=-1
+                            )
+                        t = gj.mul(t[..., 0::2], t[..., 1::2])
+                    chunk_prods = [t[:, k, 0] for k in range(n_chunks)]
+                else:  # ragged tail chunk: sequential (rare configs)
+                    chunk_prods = []
+                    for k in range(n_chunks):
+                        lo, hi = k * chunk, min((k + 1) * chunk, num_routed)
+                        acc = ratios[:, lo]
+                        for j in range(lo + 1, hi):
+                            acc = gj.mul(acc, ratios[:, j])
+                        chunk_prods.append(acc)
                 row_ratio = chunk_prods[0]
                 for k in range(1, n_chunks):
                     row_ratio = gj.mul(row_ratio, chunk_prods[k])

@@ -136,25 +136,44 @@ def eval_vanishing_jax(
     w_routed = wires_mat[:num_routed]
     kx = gj.mul(k_is[:, None], x[None, :])  # (80, M)
     one = jnp.uint64(1)
+
+    def chunk_products(vals):
+        """(80, M) -> per-chunk products [(M,)] via a log2 halving tree
+        (exact associativity: identical values to the sequential order,
+        ~chunk-fold smaller graph)."""
+        if num_routed == common.num_chunks * chunk:
+            t = vals.reshape(common.num_chunks, chunk, -1)
+            while t.shape[1] > 1:
+                if t.shape[1] % 2:
+                    t = jnp.concatenate(
+                        [t, jnp.ones_like(t[:, :1])], axis=1
+                    )
+                t = gj.mul(t[:, 0::2], t[:, 1::2])
+            return [t[k, 0] for k in range(common.num_chunks)]
+        out = []
+        for k in range(common.num_chunks):
+            lo = k * chunk
+            hi = min(lo + chunk, num_routed)
+            acc = vals[lo]
+            for j in range(lo + 1, hi):
+                acc = gj.mul(acc, vals[j])
+            out.append(acc)
+        return out
+
     out = []
     for c in range(cfg.num_challenges):
         beta, gamma = betas[c], gammas[c]
         nums = gj.add(gj.add(w_routed, gj.mul(beta, kx)), gamma)
         dens = gj.add(gj.add(w_routed, gj.mul(beta, sigma_mat)), gamma)
         rhos = [zs_at[c]] + list(partials_at[c]) + [zs_right[c]]
+        num_prods = chunk_products(nums)
+        den_prods = chunk_products(dens)
         perm_terms = []
         for k in range(common.num_chunks):
-            lo = k * chunk
-            hi = min(lo + chunk, num_routed)
-            num_prod = nums[lo]
-            den_prod = dens[lo]
-            for j in range(lo + 1, hi):
-                num_prod = gj.mul(num_prod, nums[j])
-                den_prod = gj.mul(den_prod, dens[j])
             perm_terms.append(
                 gj.sub(
-                    gj.mul(rhos[k + 1], den_prod),
-                    gj.mul(rhos[k], num_prod),
+                    gj.mul(rhos[k + 1], den_prods[k]),
+                    gj.mul(rhos[k], num_prods[k]),
                 )
             )
         l1_term = gj.mul(l1, gj.sub(zs_at[c], one))
