@@ -491,7 +491,9 @@ class BitDecompGate(Gate):
     def eval_constraints_jax(self, wires_mat, const_mat, pi_hash):
         """Stacked device evaluation: (num_ops*(bits+1), M) rows in
         eval_constraints order (per op: bool checks MSB-first, then the
-        recomposition check)."""
+        recomposition check).  The recomposition doubling chain runs as
+        a lax.scan (executable size; see goldilocks_jax.inverse)."""
+        import jax
         import jax.numpy as jnp
 
         from ..ops import goldilocks_jax as gj
@@ -507,9 +509,15 @@ class BitDecompGate(Gate):
             self.num_ops, self.bits, -1
         )  # (ops, bits, M)
         boolcons = gj.sub(gj.mul(bits, bits), bits)[:, ::-1, :]  # MSB-first
-        acc = jnp.zeros_like(v)
-        for b in reversed(range(self.bits)):
-            acc = gj.add(gj.add(acc, acc), bits[:, b, :])
+
+        def dbl_body(acc, bits_b):
+            return gj.add(gj.add(acc, acc), bits_b), None
+
+        acc, _ = jax.lax.scan(
+            dbl_body,
+            jnp.zeros_like(v),
+            jnp.moveaxis(bits, 1, 0)[::-1],  # (bits, ops, M), MSB first
+        )
         sumcons = gj.sub(acc, v)[:, None, :]
         rows = jnp.concatenate([boolcons, sumcons], axis=1)
         return rows.reshape(self.num_ops * (self.bits + 1), -1)
