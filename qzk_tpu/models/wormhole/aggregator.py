@@ -18,6 +18,9 @@ k× less build work.
 
 from __future__ import annotations
 
+import os
+import pickle
+import struct
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -71,19 +74,81 @@ class _ChunkCircuit:
 # circuit depends only on the child-proof shape (common data) and the
 # chunk size, so a proving service aggregating many batches builds each
 # shape once per process (the reference rebuilds per chunk per level —
-# tree.rs:106-143; we additionally reuse across aggregate() calls).
+# tree.rs:106-143; we additionally reuse across aggregate() calls and,
+# via the disk cache below, across processes).
 _chunk_circuit_cache: dict = {}
+
+# Bump when CircuitBuilder / recursion gadget output changes shape, so
+# stale cached circuits are rebuilt rather than mis-proved.
+_CHUNK_CACHE_VERSION = 1
+_MAGIC_CHUNK = b"QZKA\x01"
+
+
+def _chunk_cache_path(digest: bytes, branching: int) -> Path | None:
+    """Disk-cache slot for a chunk circuit (the recursion-circuit build
+    is ~10 min of host Python per shape and dominates aggregation
+    wall-clock; the proofs it produces are identical either way).
+    QZK_CIRCUIT_CACHE_DIR overrides the default .cache/chunk_circuits;
+    QZK_CIRCUIT_CACHE_DIR="" disables disk caching."""
+    root = os.environ.get("QZK_CIRCUIT_CACHE_DIR")
+    if root == "":
+        return None
+    base = Path(root) if root else Path(".cache") / "chunk_circuits"
+    return base / (
+        f"chunk_{digest.hex()[:32]}_b{branching}_v{_CHUNK_CACHE_VERSION}.bin"
+    )
+
+
+def _chunk_circuit_to_bytes(circuit: _ChunkCircuit) -> bytes:
+    from ...utils.serialization import circuit_data_to_bytes
+
+    data_blob = circuit_data_to_bytes(circuit.data)
+    targets_blob = pickle.dumps(
+        (circuit.verifier_data_target, circuit.proof_targets), protocol=4
+    )
+    return (
+        _MAGIC_CHUNK
+        + struct.pack("<2Q", len(data_blob), len(targets_blob))
+        + data_blob
+        + targets_blob
+    )
+
+
+def _chunk_circuit_from_bytes(blob: bytes) -> _ChunkCircuit:
+    from ...utils.serialization import circuit_data_from_bytes
+
+    if blob[:5] != _MAGIC_CHUNK:
+        raise ValueError("bad chunk-circuit cache blob")
+    ld, lt = struct.unpack_from("<2Q", blob, 5)
+    off = 5 + 16
+    data = circuit_data_from_bytes(blob[off : off + ld])
+    vd_t, proof_ts = pickle.loads(blob[off + ld : off + ld + lt])
+    return _ChunkCircuit(
+        data=data, verifier_data_target=vd_t, proof_targets=proof_ts
+    )
 
 
 def build_chunk_circuit(common, branching: int) -> _ChunkCircuit:
     """The recursion circuit verifying `branching` child proofs and
-    re-exporting their public inputs (tree.rs:106-127)."""
-    key = (bytes(np.asarray(common.circuit_digest).tobytes()), branching)
+    re-exporting their public inputs (tree.rs:106-127).  Memoized in
+    memory and on disk, keyed by (child circuit digest, branching)."""
+    digest = bytes(np.asarray(common.circuit_digest).tobytes())
+    key = (digest, branching)
     cached = _chunk_circuit_cache.get(key)
     if cached is not None:
         return cached
+    path = _chunk_cache_path(digest, branching)
+    if path is not None and path.exists():
+        circuit = _chunk_circuit_from_bytes(path.read_bytes())
+        _chunk_circuit_cache[key] = circuit
+        return circuit
     circuit = _build_chunk_circuit_uncached(common, branching)
     _chunk_circuit_cache[key] = circuit
+    if path is not None:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_bytes(_chunk_circuit_to_bytes(circuit))
+        os.replace(tmp, path)
     return circuit
 
 
@@ -118,21 +183,58 @@ def _prove_chunk(
     return AggregatedProof(proof=proof, circuit_data=circuit.data)
 
 
+def _agg_workers(n_chunks: int) -> int:
+    """Concurrent chunk proves per level — the reference fans chunks
+    out via rayon `par_chunks` with `multithread` on by default
+    (tree.rs:79-103, aggregator/Cargo.toml).  Here a chunk prove is one
+    device pipeline, so concurrency = one worker per JAX device
+    (per-device prover contexts, see plonk.device_prover.get_context);
+    with one device (the single-TPU deployment) proving is inherently
+    serialized and we stay sequential.  QZK_AGG_WORKERS forces a
+    count."""
+    flag = os.environ.get("QZK_AGG_WORKERS")
+    if flag:
+        return max(1, min(int(flag), n_chunks))
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # virtual CPU "devices" share the host cores; per-device
+        # contexts would multiply the LDE memory for no wall-clock win
+        return 1
+    return max(1, min(jax.device_count(), n_chunks))
+
+
 def aggregate_level(
     proofs: list, common, verifier_only, config: TreeAggregationConfig
 ) -> list:
     """One tree level: chunked recursion proofs (tree.rs:79-103).
-    Builds one circuit per chunk size occurring at this level."""
+    Builds one circuit per chunk size occurring at this level; chunks
+    prove concurrently across devices when more than one is attached."""
     b = config.tree_branching_factor
     chunks = [proofs[i : i + b] for i in range(0, len(proofs), b)]
     circuits: dict[int, _ChunkCircuit] = {}
-    out = []
     for chunk in chunks:
         size = len(chunk)
         if size not in circuits:
             circuits[size] = build_chunk_circuit(common, size)
-        out.append(_prove_chunk(circuits[size], chunk, verifier_only))
-    return out
+    workers = _agg_workers(len(chunks))
+    if workers <= 1:
+        return [
+            _prove_chunk(circuits[len(c)], c, verifier_only) for c in chunks
+        ]
+    import concurrent.futures
+
+    import jax
+
+    devices = jax.devices()
+
+    def prove_on(i_chunk):
+        i, chunk = i_chunk
+        with jax.default_device(devices[i % len(devices)]):
+            return _prove_chunk(circuits[len(chunk)], chunk, verifier_only)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(prove_on, enumerate(chunks)))
 
 
 def aggregate_to_tree(

@@ -763,10 +763,21 @@ class DeviceProverContext:
 
 
 def get_context(common, prover_only) -> DeviceProverContext:
-    ctx = getattr(prover_only, "_device_ctx", None)
+    """Per-circuit (and per-device) compiled pipeline cache.
+
+    Contexts are keyed by the thread's current default device so that
+    concurrent chunk proves (aggregator fan-out — the rayon
+    `par_chunks` analog, reference tree.rs:79-103) each get contexts
+    whose arrays live on their own device; single-device callers hit
+    the same single cached context as before."""
+    dev = jax.config.jax_default_device
+    key = None if dev is None else getattr(dev, "id", dev)
+    ctxs = getattr(prover_only, "_device_ctxs", None)
+    if ctxs is None:
+        ctxs = prover_only._device_ctxs = {}
+    ctx = ctxs.get(key)
     if ctx is None:
-        ctx = DeviceProverContext(common, prover_only)
-        prover_only._device_ctx = ctx
+        ctx = ctxs[key] = DeviceProverContext(common, prover_only)
     return ctx
 
 

@@ -101,7 +101,10 @@ def _square_circuit():
     "set QZK_SLOW_TESTS=1 (reference gates these to main pushes too)",
 )
 class TestTreeAggregation:
-    def test_aggregate_two_leaves_propagates_pis(self):
+    def test_aggregate_two_leaves_propagates_pis(
+        self, monkeypatch, tmp_path
+    ):
+        monkeypatch.setenv("QZK_CIRCUIT_CACHE_DIR", str(tmp_path))
         data, x = _square_circuit()
         proofs = []
         for v in (3, 7):
@@ -114,6 +117,21 @@ class TestTreeAggregation:
         )
         agg.circuit_data.verify(agg.proof)
         assert list(agg.proof.public_inputs) == [9, 49]
+        # re-aggregate through the disk-cached circuit (fresh process
+        # analog): the builder must not run and the root proof must be
+        # byte-identical (deterministic witness-seeded blinding)
+        from qzk_tpu.models.wormhole import aggregator as agg_mod
+
+        monkeypatch.setattr(agg_mod, "_chunk_circuit_cache", {})
+        monkeypatch.setattr(
+            agg_mod,
+            "_build_chunk_circuit_uncached",
+            lambda *a: pytest.fail("disk cache missed"),
+        )
+        agg2 = aggregate_to_tree(
+            proofs, data.common, data.verifier_only, cfg
+        )
+        assert agg2.proof.to_bytes() == agg.proof.to_bytes()
 
 
 @pytest.mark.skipif(
@@ -178,7 +196,7 @@ class TestWormholeAggregation:
 
 
 class TestChunkCircuitCache:
-    def test_memoized_per_digest_and_branching(self, monkeypatch):
+    def test_memoized_per_digest_and_branching(self, monkeypatch, tmp_path):
         """build_chunk_circuit builds each (child shape, branching)
         once per process — our deliberate improvement over the
         reference's rebuild-per-chunk (tree.rs:106-143)."""
@@ -195,6 +213,7 @@ class TestChunkCircuitCache:
             agg_mod, "_build_chunk_circuit_uncached", counting
         )
         monkeypatch.setattr(agg_mod, "_chunk_circuit_cache", {})
+        monkeypatch.setenv("QZK_CIRCUIT_CACHE_DIR", str(tmp_path))
         data, _ = _square_circuit()
         a = agg_mod.build_chunk_circuit(data.common, 2)
         b = agg_mod.build_chunk_circuit(data.common, 2)
@@ -206,3 +225,48 @@ class TestChunkCircuitCache:
             3,
         )
         assert key2 not in agg_mod._chunk_circuit_cache
+
+    def test_disk_cache_roundtrip(self, monkeypatch, tmp_path):
+        """A chunk circuit written to the disk cache loads back with
+        identical structure (the round-4 aggregation fast path: a
+        proving service restarts without re-running the recursion-
+        circuit build).  The slow tier proves through the loaded
+        circuit (TestTreeAggregation)."""
+        from qzk_tpu.models.wormhole import aggregator as agg_mod
+
+        monkeypatch.setenv("QZK_CIRCUIT_CACHE_DIR", str(tmp_path))
+        monkeypatch.setattr(agg_mod, "_chunk_circuit_cache", {})
+        data, _ = _square_circuit()
+        built = agg_mod.build_chunk_circuit(data.common, 1)
+        files = list(tmp_path.iterdir())
+        assert len(files) == 1 and files[0].name.endswith("_b1_v1.bin")
+        # a fresh process hits disk, not the builder
+        monkeypatch.setattr(agg_mod, "_chunk_circuit_cache", {})
+        monkeypatch.setattr(
+            agg_mod,
+            "_build_chunk_circuit_uncached",
+            lambda *a: pytest.fail("disk cache missed"),
+        )
+        loaded = agg_mod.build_chunk_circuit(data.common, 1)
+        assert np.array_equal(
+            np.asarray(loaded.data.common.circuit_digest),
+            np.asarray(built.data.common.circuit_digest),
+        )
+        assert loaded.proof_targets == built.proof_targets
+        assert (
+            loaded.verifier_data_target == built.verifier_data_target
+        )
+        assert np.array_equal(
+            loaded.data.verifier_only.constants_sigmas_cap,
+            built.data.verifier_only.constants_sigmas_cap,
+        )
+        assert np.array_equal(
+            loaded.data.prover_only.preprocessed_values,
+            built.data.prover_only.preprocessed_values,
+        )
+
+    def test_cache_disabled_by_empty_env(self, monkeypatch):
+        from qzk_tpu.models.wormhole import aggregator as agg_mod
+
+        monkeypatch.setenv("QZK_CIRCUIT_CACHE_DIR", "")
+        assert agg_mod._chunk_cache_path(b"\x00" * 32, 2) is None

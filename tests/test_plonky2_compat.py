@@ -138,3 +138,123 @@ class TestCrossVerification:
         proof.fri.pow_witness ^= 1
         with pytest.raises(VerificationError):
             pv.verify(common, vo, proof)
+
+
+class TestWriteSide:
+    """The WRITE side of the fork's byte formats (plonky2_write.py;
+    reference round-trip analog: circuit_data_tests.rs:73-93).
+
+    `write(read(b)) == b` byte-exactly on every checked-in reference
+    fixture, and `read(write(x)) == x` on artifacts this stack
+    produces — so the moment a Rust toolchain or the fork source is
+    available, cross-acceptance is a one-command test."""
+
+    def test_common_bin_write_read_identity(self):
+        from qzk_tpu.utils import plonky2_write as pw
+
+        blob = open(f"{BENCH_DATA}/common.bin", "rb").read()
+        assert pw.write_common(pc.read_common(blob)) == blob
+
+    def test_verifier_bin_write_read_identity(self):
+        from qzk_tpu.utils import plonky2_write as pw
+
+        blob = open(f"{BENCH_DATA}/verifier.bin", "rb").read()
+        vo, common = pc.read_verifier_only(blob)
+        assert pw.write_verifier_data(vo, common) == blob
+
+    def test_proof_bin_write_read_identity(self):
+        from qzk_tpu.utils import plonky2_write as pw
+
+        common = pc.read_common(
+            open(f"{BENCH_DATA}/common.bin", "rb").read()
+        )
+        blob = open(f"{BENCH_DATA}/proof.bin", "rb").read()
+        assert pw.write_proof(pc.read_proof(blob, common), common) == blob
+
+    @pytest.mark.parametrize(
+        "name", ["dummy_proof.bin", "dummy_proof_zk.bin"]
+    )
+    def test_dummy_proof_write_read_identity(self, name):
+        """The aggregator's embedded dummy proofs (util.rs:7-9) come
+        from a degree-2^13, non-hiding circuit with FRI arities [4,4]
+        (shape recovered by exhaustive parse in round 4 — both files
+        parse uniquely under it)."""
+        import dataclasses
+
+        from qzk_tpu.utils import plonky2_write as pw
+
+        common = pc.read_common(
+            open(f"{BENCH_DATA}/common.bin", "rb").read()
+        )
+        cfg = dataclasses.replace(common.config, zero_knowledge=False)
+        dummy_common = dataclasses.replace(
+            common,
+            config=cfg,
+            degree_bits=13,
+            reduction_arity_bits=[4, 4],
+        )
+        path = (
+            "/root/reference/wormhole/aggregator/data/" + name
+        )
+        if not os.path.exists(path):
+            pytest.skip("reference fixture not present")
+        blob = open(path, "rb").read()
+        proof = pc.read_proof(blob, dummy_common)
+        assert pw.write_proof(proof, dummy_common) == blob
+
+    def test_own_artifacts_roundtrip(self):
+        """read(write(x)) == x for a proof/common/verifier-only this
+        framework produced (a small circuit: the conversion + byte
+        writers + readers agree end to end)."""
+        from qzk_tpu.plonk.builder import CircuitBuilder
+        from qzk_tpu.plonk.config import CircuitConfig
+        from qzk_tpu.plonk.witness import PartialWitness
+        from qzk_tpu.utils import plonky2_write as pw
+
+        builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+        x = builder.add_virtual_target()
+        y = builder.mul(x, x)
+        builder.register_public_input(y)
+        data = builder.build()
+        pw_wit = PartialWitness()
+        pw_wit.set_target(x, 5)
+        proof = data.prove(pw_wit)
+
+        p2c = pw.common_to_p2(data.common)
+        blob = pw.write_common(p2c)
+        back_c = pc.read_common(blob)
+        assert np.array_equal(back_c.k_is, p2c.k_is)
+        import dataclasses
+
+        for f in dataclasses.fields(p2c):
+            if f.name == "k_is":
+                continue
+            assert getattr(back_c, f.name) == getattr(p2c, f.name), f.name
+
+        p2v = pw.verifier_only_to_p2(data.verifier_only)
+        vo2 = pc.read_verifier_only(pw.write_verifier_only(p2v))
+        assert np.array_equal(
+            vo2.constants_sigmas_cap, p2v.constants_sigmas_cap
+        )
+        assert np.array_equal(vo2.circuit_digest, p2v.circuit_digest)
+
+        p2p = pw.proof_to_p2(proof, data.common)
+        back = pc.read_proof(pw.write_proof(p2p, p2c), p2c)
+        assert np.array_equal(back.public_inputs, p2p.public_inputs)
+        assert np.array_equal(back.wires_cap, p2p.wires_cap)
+        zeta0, right0 = p2p.openings.fri_batches()
+        zeta1, right1 = back.openings.fri_batches()
+        assert np.array_equal(zeta0, zeta1)
+        assert np.array_equal(right0, right1)
+        assert np.array_equal(back.fri.final_poly, p2p.fri.final_poly)
+        assert back.fri.pow_witness == p2p.fri.pow_witness
+        assert len(back.fri.query_rounds) == len(p2p.fri.query_rounds)
+        for qa, qb in zip(back.fri.query_rounds, p2p.fri.query_rounds):
+            for a, b in zip(qa.initial_leaves, qb.initial_leaves):
+                assert np.array_equal(a, b)
+            for pa, pb in zip(qa.initial_paths, qb.initial_paths):
+                assert len(pa) == len(pb)
+                for a, b in zip(pa, pb):
+                    assert np.array_equal(a, b)
+            for a, b in zip(qa.step_evals, qb.step_evals):
+                assert np.array_equal(a, b)
