@@ -1,9 +1,23 @@
 """Kernel microbenchmarks — the BASELINE.json north-star metrics:
-Poseidon hashes/s/chip and 2^22 Goldilocks NTT wall-clock on one chip.
+Poseidon hashes/s/chip and 2^22 Goldilocks NTT wall-clock on one chip,
+each with speed-of-light (roofline) accounting.
 
 These are the two dominant device workloads of the prover
 (SURVEY.md §3.1 steps 2-5: NTT/LDE + Merkle/transcript Poseidon).
 Prints one JSON line per metric.
+
+Roofline model (documented assumptions, v5e 1 chip):
+  - HBM bandwidth ~819 GB/s (public v5e spec).
+  - VPU integer throughput ~4e12 int32 op/s (8x128 lanes x ~4 ALUs x
+    ~1 GHz — a working assumption, stated with every derived number;
+    TPU has no native u64, so every Goldilocks op is u32-pair
+    arithmetic).
+  - Poseidon width-12 permutation ~= 4.7k field muls + ~4.7k adds
+    (8 full rounds x (36 sbox-mul + 144 MDS-mul) + 22 partial rounds x
+    (3 + 144)) ~= 1.4e5 u32 ops -> SOL ~= 2.9e7 perm/s/chip.
+  - NTT 2^22: compute n/2*log2(n) butterflies x ~50 u32 ops = 2.3e9 ops
+    -> 0.58 ms; memory min one read+write = 67 MB -> 0.08 ms; SOL =
+    max(compute, memory) = 0.58 ms.
 
 Run:  python benches/bench_kernels.py [--log-n 22] [--poseidon-batch 20]
 """
@@ -18,6 +32,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+V5E_HBM_BYTES_PER_S = 819e9
+V5E_VPU_INT32_OPS_PER_S = 4e12  # working assumption, see module docstring
+POSEIDON_U32_OPS_PER_PERM = 1.4e5
+NTT_U32_OPS_PER_BUTTERFLY = 50
+
 
 def _bench(fn, *args, iters: int = 5):
     import jax
@@ -30,6 +49,10 @@ def _bench(fn, *args, iters: int = 5):
         jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
 
 
 def main() -> None:
@@ -58,37 +81,73 @@ def main() -> None:
     states = jnp.asarray(
         rng.integers(0, 2**63, size=(n_states, 12), dtype=np.uint64)
     )
-    permute = jax.jit(pj.permute)
-    dt = _bench(permute, states)
-    print(
-        json.dumps(
-            {
-                "metric": "poseidon_permutations_per_s",
-                "value": round(n_states / dt),
-                "unit": "perm/s",
-                "batch": n_states,
-            }
-        ),
-        flush=True,
+    sol_perm_s = V5E_VPU_INT32_OPS_PER_S / POSEIDON_U32_OPS_PER_PERM
+    variants = [("jnp", jax.jit(pj.permute))]
+    try:
+        from qzk_tpu.ops import poseidon_pallas as pp
+
+        variants.append(("pallas", jax.jit(pp.permute)))
+    except Exception:
+        pass
+    best_rate, best_name = 0.0, ""
+    for name, fn in variants:
+        try:
+            dt = _bench(fn, states)
+        except Exception:
+            continue
+        rate = n_states / dt
+        if rate > best_rate:
+            best_rate, best_name = rate, name
+        _emit(
+            metric=f"poseidon_permutations_per_s_{name}",
+            value=round(rate),
+            unit="perm/s",
+            batch=n_states,
+        )
+    _emit(
+        metric="poseidon_permutations_per_s",
+        value=round(best_rate),
+        unit="perm/s",
+        batch=n_states,
+        kernel=best_name,
+        roofline_perm_per_s=round(sol_perm_s),
+        efficiency_pct=round(100 * best_rate / sol_perm_s, 1),
+        roofline_model="VPU 4e12 int32 op/s / 1.4e5 ops per permutation",
     )
 
     # --- 2^22 Goldilocks NTT -------------------------------------------
     log_n = args.log_n
+    n = 1 << log_n
     coeffs = jnp.asarray(
-        rng.integers(0, 2**63, size=(1, 1 << log_n), dtype=np.uint64)
+        rng.integers(0, 2**63, size=(1, n), dtype=np.uint64)
     )
+    sol_compute = (
+        (n // 2) * log_n * NTT_U32_OPS_PER_BUTTERFLY
+    ) / V5E_VPU_INT32_OPS_PER_S
+    sol_memory = 2 * n * 8 / V5E_HBM_BYTES_PER_S
+    sol_s = max(sol_compute, sol_memory)
+
     plan = ntt_mod.get_plan(log_n)
-    ntt = jax.jit(plan.ntt)
-    dt = _bench(ntt, coeffs)
-    print(
-        json.dumps(
-            {
-                "metric": f"goldilocks_ntt_2pow{log_n}",
-                "value": round(dt, 4),
-                "unit": "s",
-            }
+    dt_r2 = _bench(jax.jit(plan.ntt), coeffs)
+    _emit(
+        metric=f"goldilocks_ntt_2pow{log_n}_radix2",
+        value=round(dt_r2, 4),
+        unit="s",
+    )
+    plan4 = ntt_mod.get_fourstep_plan(log_n)
+    tw = jnp.asarray(plan4.twiddle)
+    dt_4 = _bench(jax.jit(plan4.ntt), coeffs, tw)
+    dt = min(dt_r2, dt_4)
+    _emit(
+        metric=f"goldilocks_ntt_2pow{log_n}",
+        value=round(dt, 4),
+        unit="s",
+        kernel="four-step" if dt_4 <= dt_r2 else "radix-2",
+        roofline_s=round(sol_s, 5),
+        efficiency_pct=round(100 * sol_s / dt, 1),
+        roofline_model=(
+            "max(n/2*log2(n)*50 u32 ops / 4e12, 2*8n B / 819e9)"
         ),
-        flush=True,
     )
 
 

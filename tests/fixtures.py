@@ -168,3 +168,134 @@ def default_circuit_inputs() -> CircuitInputs:
             ),
         ),
     )
+
+
+def random_transfer_proof(rng, proof_len=None, leaf_hash=None):
+    """Generate a random-but-valid Substrate-style storage-proof chain
+    as a TransferProofJson — the offline stand-in for the reference's
+    live-chain tier-3 fuzz (circuit_data_tests.rs:187-329 fetches real
+    TransferProofJson proofs from a dev node; no chain exists here, so
+    we synthesize random tries with the same interchange schema).
+
+    Chain construction mirrors the trie semantics the circuit checks
+    (storage_proof/mod.rs:136-244): node i embeds H(pad188(node[i+1]))
+    at a random felt-aligned offset, the last node embeds `leaf_hash`
+    (H(leaf_inputs)), and the returned state_root is H(pad188(node[0])).
+    Node sizes are random in [8, 188] felts including the 188-felt
+    boundary; proof_len is random in [1, MAX_PROOF_LEN] including the
+    20-node boundary unless pinned.
+
+    Returns (TransferProofJson, root_hash_bytes).
+    """
+    import numpy as np
+
+    from qzk_tpu.models.wormhole.inputs import TransferProofJson
+    from qzk_tpu.models.wormhole.storage_proof import (
+        MAX_PROOF_LEN,
+        PROOF_NODE_MAX_SIZE_F,
+    )
+    from qzk_tpu.ops import poseidon
+
+    scan_limit = PROOF_NODE_MAX_SIZE_F - 8  # is_start scan covers [0,180)
+
+    def node_hash(node_bytes: bytes) -> np.ndarray:
+        felts = codec.injective_bytes_to_felts(node_bytes)
+        padded = np.zeros(PROOF_NODE_MAX_SIZE_F, dtype=np.uint64)
+        padded[: len(felts)] = felts
+        return poseidon.hash_no_pad(padded)
+
+    def digest_to_bytes(d: np.ndarray) -> bytes:
+        return b"".join(int(x).to_bytes(8, "little") for x in d)
+
+    if proof_len is None:
+        proof_len = int(rng.integers(1, MAX_PROOF_LEN + 1))
+    assert 0 <= proof_len <= MAX_PROOF_LEN
+    if leaf_hash is None:
+        leaf_hash = poseidon.hash_no_pad(
+            rng.integers(0, 1 << 32, size=14).astype(np.uint64)
+        )
+
+    nodes, indices = [], []
+    for _ in range(proof_len):
+        n_felts = int(rng.integers(8, PROOF_NODE_MAX_SIZE_F + 1))
+        # embedded child hash: 8 felts starting at a scannable offset
+        idx_f = int(rng.integers(0, min(n_felts - 8, scan_limit - 1) + 1))
+        node = bytearray(rng.integers(0, 256, size=n_felts * 4).astype(
+            np.uint8
+        ).tobytes())
+        nodes.append(node)
+        indices.append(idx_f * 8)  # hex-char offset (2 per byte)
+
+    embed = digest_to_bytes(leaf_hash)
+    for i in range(proof_len - 1, -1, -1):
+        off = indices[i] // 2
+        nodes[i][off : off + 32] = embed
+        embed = digest_to_bytes(node_hash(bytes(nodes[i])))
+    root_hash = embed if proof_len else digest_to_bytes(leaf_hash)
+
+    proof_json = TransferProofJson(
+        transfer_count=0,  # caller overwrites with the leaf's count
+        state_root="0x" + bytes(root_hash).hex(),
+        storage_proof=["0x" + bytes(n).hex() for n in nodes],
+        indices=indices,
+    )
+    return proof_json, bytes(root_hash)
+
+
+def random_circuit_inputs(rng, proof_len=None):
+    """Fully random valid wormhole CircuitInputs: random secret,
+    transfer count, amounts, accounts and a random storage-proof chain
+    of `proof_len` nodes (random 1..=20 when None; 0 = leaf-only, the
+    example binary's shape).  Returns (CircuitInputs,
+    TransferProofJson) so tests can exercise the JSON interchange path
+    too."""
+    import numpy as np
+
+    from qzk_tpu.models.wormhole.storage_proof import LeafInputs
+    from qzk_tpu.ops import poseidon
+
+    secret = bytes(rng.integers(0, 256, size=32).astype(np.uint8).tobytes())
+    transfer_count = int(
+        rng.integers(0, 1 << 64, dtype=np.uint64)
+    )
+    funding_amount = int(rng.integers(0, 1 << 62)) | (
+        int(rng.integers(0, 1 << 62)) << 62
+    )  # spans all four 32-bit limbs of the u128
+    funding_account = bytes(
+        rng.integers(0, 256, size=32).astype(np.uint8).tobytes()
+    )
+    unspendable = UnspendableAccount.from_secret(secret)
+    unspendable_digest = codec.BytesDigest.from_felts(unspendable.account_id)
+    nullifier = Nullifier.from_preimage(secret, transfer_count)
+    exit_account = bytes(
+        rng.integers(0, 256, size=32).astype(np.uint8).tobytes()
+    )
+
+    leaf = LeafInputs.new(
+        transfer_count,
+        codec.BytesDigest(funding_account),
+        unspendable_digest,
+        funding_amount,
+    )
+    leaf_hash = poseidon.hash_no_pad(leaf.to_vec())
+    proof_json, root_hash = random_transfer_proof(
+        rng, proof_len=proof_len, leaf_hash=leaf_hash
+    )
+    proof_json.transfer_count = transfer_count
+
+    inputs = CircuitInputs(
+        public=PublicCircuitInputs(
+            funding_amount=funding_amount,
+            nullifier=codec.BytesDigest.from_felts(nullifier.hash),
+            root_hash=codec.BytesDigest(root_hash),
+            exit_account=codec.BytesDigest(exit_account),
+        ),
+        private=PrivateCircuitInputs(
+            secret=secret,
+            storage_proof=proof_json.to_processed(),
+            transfer_count=transfer_count,
+            funding_account=codec.BytesDigest(funding_account),
+            unspendable_account=unspendable_digest,
+        ),
+    )
+    return inputs, proof_json

@@ -115,3 +115,24 @@ class TestPeaseNTT:
             )
         )
         assert (got == ntt.coset_lde_np(x, rate)).all()
+
+
+class TestFourStep:
+    """Four-step NTT (full-tile single-vector transform) vs the numpy
+    oracle — bit-exact at several sizes including odd log_n (n1 != n2)."""
+
+    @pytest.mark.parametrize("log_n", [4, 7, 10, 13])
+    def test_matches_oracle(self, log_n):
+        import jax
+
+        rng = np.random.default_rng(log_n)
+        x = rng.integers(0, 1 << 63, size=(1, 1 << log_n), dtype=np.uint64)
+        plan = ntt.get_fourstep_plan(log_n)
+        got = np.asarray(jax.jit(plan.ntt)(x, plan.twiddle))
+        assert np.array_equal(got, ntt.ntt_np(x))
+
+    def test_powers_mul_table_matches_scalar(self):
+        base = 0x1234567890ABCDEF % (2**64 - 2**32 + 1)
+        want = ntt.powers(base, 100)
+        got = ntt.powers_mul_table(base, 100)
+        assert np.array_equal(got, want)

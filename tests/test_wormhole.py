@@ -289,3 +289,101 @@ class TestStorageProofFuzz:
         assert failures == self.N_ITERS, (
             f"{self.N_ITERS - failures} tampered proofs were accepted"
         )
+
+
+class TestTransferProofJson:
+    """The TransferProofJson interchange path (common/src/circuit.rs:
+    15-21) — fast tier: parse/convert without proving; the slow-tier
+    random-trie fuzz proves through it."""
+
+    def test_from_json_roundtrip(self):
+        from qzk_tpu.models.wormhole.inputs import TransferProofJson
+        from tests.fixtures import random_circuit_inputs
+
+        rng = np.random.default_rng(7)
+        inputs, pj = random_circuit_inputs(rng, proof_len=3)
+        parsed = TransferProofJson.from_json(pj.to_json())
+        assert parsed.transfer_count == pj.transfer_count
+        assert parsed.state_root == pj.state_root
+        assert parsed.indices == pj.indices
+        processed = parsed.to_processed()
+        assert processed.proof == inputs.private.storage_proof.proof
+        assert processed.indices == inputs.private.storage_proof.indices
+        assert parsed.root_hash_bytes() == bytes(inputs.public.root_hash)
+
+    def test_generator_covers_boundaries(self):
+        """The random generator reaches both proof-length boundaries
+        and the max node size within a modest sample."""
+        from qzk_tpu.models.wormhole.storage_proof import (
+            MAX_PROOF_LEN,
+            PROOF_NODE_MAX_SIZE_F,
+        )
+        from tests.fixtures import random_transfer_proof
+
+        rng = np.random.default_rng(11)
+        lens, max_node = set(), 0
+        for _ in range(200):
+            pj, _ = random_transfer_proof(rng)
+            lens.add(len(pj.storage_proof))
+            max_node = max(
+                max_node,
+                max((len(n) - 2) // 8 for n in pj.storage_proof),
+            )
+        assert 1 in lens and MAX_PROOF_LEN in lens
+        assert max_node == PROOF_NODE_MAX_SIZE_F
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("QZK_SLOW_TESTS") != "1",
+    reason="~40 full random proves; set QZK_SLOW_TESTS=1",
+)
+class TestRandomTrieFuzz:
+    """Offline tier-3 analog of the reference's live-chain e2e fuzz
+    (circuit_data_tests.rs:187-329: 100 random secrets/amounts through
+    node-fetched TransferProofJson proofs).  No chain exists here, so
+    random tries are synthesized (tests/fixtures.random_circuit_inputs)
+    with every proof length 0..=20, random node sizes up to the
+    188-felt boundary, and random felt-aligned child-hash offsets; each
+    instance travels through the TransferProofJson JSON interchange
+    before proving."""
+
+    N_RANDOM = 19
+
+    def test_random_tries_prove_and_verify(self, circuit_data):
+        from qzk_tpu.models.wormhole.inputs import TransferProofJson
+        from tests.fixtures import random_circuit_inputs
+
+        data, targets = circuit_data
+        prover_data = data.prover_data()
+        verifier = WormholeVerifier.new(
+            CIRCUIT_CONFIG, data.verifier_data()
+        )
+        rng = np.random.default_rng(0x7E57)
+        # pinned boundary lengths + random tail
+        lengths = [0, 1, 19, 20] + [None] * self.N_RANDOM
+        histogram = {}
+        for plen in lengths:
+            inputs, pj = random_circuit_inputs(rng, proof_len=plen)
+            # the JSON interchange path is the one under test
+            parsed = TransferProofJson.from_json(pj.to_json())
+            import dataclasses
+
+            inputs = dataclasses.replace(
+                inputs,
+                private=dataclasses.replace(
+                    inputs.private,
+                    storage_proof=parsed.to_processed(),
+                ),
+            )
+            prover = WormholeProver(
+                CIRCUIT_CONFIG, _circuit_data=prover_data, _targets=targets
+            )
+            proof = prover.commit(inputs).prove()
+            verifier.verify(proof)
+            pub = PublicCircuitInputs.try_from_proof(proof)
+            assert pub.funding_amount == inputs.public.funding_amount
+            assert bytes(pub.root_hash) == bytes(inputs.public.root_hash)
+            n = len(inputs.private.storage_proof.proof)
+            histogram[n] = histogram.get(n, 0) + 1
+        print(f"proof-length histogram: {dict(sorted(histogram.items()))}")
+        assert {0, 1, 19, 20} <= set(histogram)
