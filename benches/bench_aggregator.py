@@ -8,9 +8,11 @@ wormhole circuit (aggregator.rs:60-90 proves once and pads with the
 embedded dummy).  Each grid point prints two JSON lines:
 aggregate_proofs_{b}_{d} and verify_aggregate_proof_{b}_{d}.
 
-Recursive chunk proofs are expensive (a (b,d) tree is
-sum_{l=1..d} ceil(b^d / b^l) chunk proofs), so the default grid is the
-smallest point; pass grid points as CLI args to widen:
+The default grid is the FULL reference grid (affordable since round 4:
+recursion chunk circuits come from the disk cache — populate it once
+with `python tools/build_chunk_cache.py`; the wormhole circuit loads
+from .cache/wormhole_circuit_zk.bin the same way).  Pass grid points as
+CLI args to narrow:
 
   python benches/bench_aggregator.py 2,1 2,2 3,2
 """
@@ -24,7 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_GRID = [(2, 1)]
+DEFAULT_GRID = [
+    (2, 1), (2, 2), (2, 3), (2, 4), (2, 5),
+    (3, 2), (4, 2), (5, 2), (6, 2), (7, 2),
+]
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -47,13 +52,33 @@ def main(argv: list[str] | None = None) -> None:
     cfg = CircuitConfig.standard_recursion_zk_config()
     circuit = WormholeCircuit(cfg)
     targets = circuit.targets()
-    data = circuit.build_circuit()
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        "wormhole_circuit_zk.bin",
+    )
+    if os.path.exists(cache):
+        from qzk_tpu.utils.serialization import circuit_data_from_bytes
+
+        data = circuit_data_from_bytes(open(cache, "rb").read())
+    else:
+        data = circuit.build_circuit()
     verifier_data = data.verifier_data()
 
     prover = WormholeProver(
         cfg, _circuit_data=data.prover_data(), _targets=targets
     )
     leaf_proof = prover.commit(synthetic_circuit_inputs()).prove()
+    # one warm prove per chunk shape happens inside the grid; report the
+    # backend so a CPU-fallback run can never read as a TPU number
+    import jax
+
+    print(
+        json.dumps(
+            {"metric": "aggregator_backend", "value": jax.default_backend()}
+        ),
+        flush=True,
+    )
 
     for branching, depth in grid:
         agg_cfg = TreeAggregationConfig.new(branching, depth)

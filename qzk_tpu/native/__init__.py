@@ -57,6 +57,19 @@ def _build_and_load():
     lib.poseidon_permute.argtypes = [
         u64p, ctypes.c_long, u64p, u64p, ctypes.c_int, ctypes.c_int,
     ]
+    lib.poseidon_hash_rows.argtypes = [
+        u64p, ctypes.c_long, ctypes.c_long, u64p, u64p,
+        ctypes.c_int, ctypes.c_int, u64p,
+    ]
+    lib.poseidon_merkle_walk.argtypes = [
+        u64p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_long, u64p,
+        ctypes.c_long, u64p, u64p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.challenger_absorb.argtypes = [
+        u64p, ctypes.c_long, u64p, ctypes.c_long, u64p, u64p,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.challenger_absorb.restype = ctypes.c_long
     lib.poseidon_trace.argtypes = [
         u64p, u64p, ctypes.c_long, u64p, u64p, ctypes.c_int,
         ctypes.c_int, u64p, u64p, u64p,
@@ -142,6 +155,68 @@ def poseidon_permute_batch(states: np.ndarray) -> np.ndarray:
         pos.HALF_FULL, pos.N_PARTIAL_ROUNDS,
     )
     return out
+
+
+def poseidon_hash_rows(rows: np.ndarray) -> np.ndarray | None:
+    """Rate-8 no-pad sponge over rows: (B, w) -> (B, 4) digests in ONE
+    native call (vs ceil(w/8) permute dispatches)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops import poseidon as pos
+
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    B, w = rows.shape
+    out = np.empty((B, 4), dtype=np.uint64)
+    lib.poseidon_hash_rows(
+        _ptr(rows), B, w, _ptr(_mds()), _ptr(_rc()),
+        pos.HALF_FULL, pos.N_PARTIAL_ROUNDS, _ptr(out),
+    )
+    return out
+
+
+def poseidon_merkle_walk(
+    digests: np.ndarray, idx: np.ndarray, paths: np.ndarray
+) -> np.ndarray | None:
+    """Walk Q Merkle paths: digests (Q, 4), idx (Q,), paths
+    (Q, depth, 4) -> (Q, 4) top digests in ONE native call."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops import poseidon as pos
+
+    out = np.ascontiguousarray(digests, dtype=np.uint64).copy()
+    idx_c = np.ascontiguousarray(idx, dtype=np.int64)
+    paths = np.ascontiguousarray(paths, dtype=np.uint64)
+    Q, depth = paths.shape[0], paths.shape[1]
+    lib.poseidon_merkle_walk(
+        _ptr(out),
+        idx_c.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        Q, _ptr(paths), depth, _ptr(_mds()), _ptr(_rc()),
+        pos.HALF_FULL, pos.N_PARTIAL_ROUNDS,
+    )
+    return out
+
+
+def challenger_absorb(
+    state: np.ndarray, k: int, elems: np.ndarray
+) -> int | None:
+    """Absorb `elems` into the duplex `state` (modified in place) with
+    `k` elements already pending; returns the new pending count, or
+    None if native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..ops import poseidon as pos
+
+    assert state.dtype == np.uint64 and state.flags.c_contiguous
+    elems = np.ascontiguousarray(elems, dtype=np.uint64)
+    return int(
+        lib.challenger_absorb(
+            _ptr(state), k, _ptr(elems), elems.size, _ptr(_mds()),
+            _ptr(_rc()), pos.HALF_FULL, pos.N_PARTIAL_ROUNDS,
+        )
+    )
 
 
 _mds_cache = None

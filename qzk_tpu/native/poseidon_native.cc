@@ -93,6 +93,29 @@ void gl_sub_sa(u64 s, const u64 *b, u64 *out, long n) {
   for (long i = 0; i < n; ++i) out[i] = gsub(s, b[i]);
 }
 
+} // extern "C"
+
+// One Poseidon permutation on a width-12 state (shared core).
+static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
+                               int half_full, int n_partial) {
+  u64 tmp[12];
+  int n_rounds = 2 * half_full + n_partial;
+  for (int r = 0; r < n_rounds; ++r) {
+    const u64 *rcr = rc + r * 12;
+    bool full = (r < half_full) || (r >= half_full + n_partial);
+    if (full) {
+      for (int i = 0; i < 12; ++i) s[i] = sbox7(gadd(s[i], rcr[i]));
+    } else {
+      for (int i = 0; i < 12; ++i) s[i] = gadd(s[i], rcr[i]);
+      s[0] = sbox7(s[0]);
+    }
+    mds(m, s, tmp);
+    std::memcpy(s, tmp, 12 * sizeof(u64));
+  }
+}
+
+extern "C" {
+
 // Batched Poseidon permutation: states (B, 12) in-place.
 // mds_m: (12*12), rc: (n_rounds*12), half_full, n_partial as in python.
 void poseidon_permute(u64 *states, long B, const u64 *mds_m, const u64 *rc,
@@ -100,23 +123,110 @@ void poseidon_permute(u64 *states, long B, const u64 *mds_m, const u64 *rc,
   u64 m[12][12];
   for (int r = 0; r < 12; ++r)
     for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
-  int n_rounds = 2 * half_full + n_partial;
-  for (long b = 0; b < B; ++b) {
-    u64 *s = states + b * 12;
-    u64 tmp[12];
-    for (int r = 0; r < n_rounds; ++r) {
-      const u64 *rcr = rc + r * 12;
-      bool full = (r < half_full) || (r >= half_full + n_partial);
-      if (full) {
-        for (int i = 0; i < 12; ++i) s[i] = sbox7(gadd(s[i], rcr[i]));
-      } else {
-        for (int i = 0; i < 12; ++i) s[i] = gadd(s[i], rcr[i]);
-        s[0] = sbox7(s[0]);
+  for (long b = 0; b < B; ++b)
+    permute_one(states + b * 12, m, rc, half_full, n_partial);
+}
+
+// Rate-8 overwrite-mode sponge over rows (hash_n_to_m_no_pad with 4
+// outputs): rows (B, w) -> out (B, 4).  ONE call replaces the
+// ceil(w/8) separate permute dispatches the python chain makes — the
+// host verifier's dominant cost once everything else is batched.
+void poseidon_hash_rows(const u64 *rows, long B, long w, const u64 *mds_m,
+                        const u64 *rc, int half_full, int n_partial,
+                        u64 *out) {
+  u64 m[12][12];
+  for (int r = 0; r < 12; ++r)
+    for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
+  auto run = [&](long lo, long hi) {
+    for (long b = lo; b < hi; ++b) {
+      const u64 *in = rows + b * w;
+      u64 s[12] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+      for (long start = 0; start < w; start += 8) {
+        long len = w - start < 8 ? w - start : 8;
+        for (long i = 0; i < len; ++i) s[i] = in[start + i];
+        permute_one(s, m, rc, half_full, n_partial);
       }
-      mds(m, s, tmp);
-      std::memcpy(s, tmp, sizeof(tmp));
+      std::memcpy(out + b * 4, s, 4 * sizeof(u64));
+    }
+  };
+  long nt = std::thread::hardware_concurrency();
+  if (nt > B / 8) nt = B / 8;  // >= 8 rows per thread or stay serial
+  if (nt <= 1) {
+    run(0, B);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long chunk = (B + nt - 1) / nt;
+  for (long t = 0; t < nt; ++t) {
+    long lo = t * chunk, hi = lo + chunk < B ? lo + chunk : B;
+    if (lo < hi) threads.emplace_back(run, lo, hi);
+  }
+  for (auto &th : threads) th.join();
+}
+
+// Duplex-sponge absorb (overwrite mode): write `n` elements into
+// state[k], permuting whenever 8 accumulate.  Returns the new pending
+// count k' (0..7).  One call absorbs a whole observation batch — the
+// python challenger paid one native permute dispatch per 8 elements.
+long challenger_absorb(u64 *state, long k, const u64 *elems, long n,
+                       const u64 *mds_m, const u64 *rc, int half_full,
+                       int n_partial) {
+  u64 m[12][12];
+  for (int r = 0; r < 12; ++r)
+    for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
+  for (long i = 0; i < n; ++i) {
+    state[k++] = elems[i];
+    if (k == 8) {
+      permute_one(state, m, rc, half_full, n_partial);
+      k = 0;
     }
   }
+  return k;
+}
+
+// Batched Merkle path walk: digests (Q, 4) updated in place through
+// `depth` two_to_one compressions with siblings paths (Q, depth, 4)
+// and per-query leaf indices idx (Q,) (bit d of idx[q] selects the
+// side at level d).  ONE call replaces `depth` hash dispatches.
+void poseidon_merkle_walk(u64 *digests, const long long *idx, long Q,
+                          const u64 *paths, long depth, const u64 *mds_m,
+                          const u64 *rc, int half_full, int n_partial) {
+  u64 m[12][12];
+  for (int r = 0; r < 12; ++r)
+    for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
+  auto run = [&](long lo, long hi) {
+    for (long q = lo; q < hi; ++q) {
+      u64 *h = digests + q * 4;
+      long long j = idx[q];
+      for (long d = 0; d < depth; ++d) {
+        const u64 *sib = paths + (q * depth + d) * 4;
+        u64 s[12] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+        if (j & 1) {
+          std::memcpy(s, sib, 4 * sizeof(u64));
+          std::memcpy(s + 4, h, 4 * sizeof(u64));
+        } else {
+          std::memcpy(s, h, 4 * sizeof(u64));
+          std::memcpy(s + 4, sib, 4 * sizeof(u64));
+        }
+        permute_one(s, m, rc, half_full, n_partial);
+        std::memcpy(h, s, 4 * sizeof(u64));
+        j >>= 1;
+      }
+    }
+  };
+  long nt = std::thread::hardware_concurrency();
+  if (nt > Q / 8) nt = Q / 8;
+  if (nt <= 1) {
+    run(0, Q);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long chunk = (Q + nt - 1) / nt;
+  for (long t = 0; t < nt; ++t) {
+    long lo = t * chunk, hi = lo + chunk < Q ? lo + chunk : Q;
+    if (lo < hi) threads.emplace_back(run, lo, hi);
+  }
+  for (auto &th : threads) th.join();
 }
 
 // Poseidon gate witness trace (mirrors gates.poseidon_trace):

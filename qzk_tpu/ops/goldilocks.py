@@ -95,6 +95,23 @@ def _native_binop(a, b, ew, sa, as_=None):
             a.ctypes.data_as(p), int(b), out.ctypes.data_as(p), a.size
         )
         return out
+    if a.ndim and b.ndim and a.shape != b.shape:
+        # small broadcasts: materializing both sides and using the
+        # elementwise kernel beats the ~16-dispatch numpy fallback
+        # (the host verifier's FRI walk is all (Q, ...) broadcasts)
+        try:
+            shape = np.broadcast_shapes(a.shape, b.shape)
+        except ValueError:
+            return None
+        if int(np.prod(shape)) <= 1 << 16:
+            ab = np.ascontiguousarray(np.broadcast_to(a, shape))
+            bb = np.ascontiguousarray(np.broadcast_to(b, shape))
+            out = np.empty(shape, dtype=np.uint64)
+            getattr(lib, ew)(
+                ab.ctypes.data_as(p), bb.ctypes.data_as(p),
+                out.ctypes.data_as(p), out.size,
+            )
+            return out
     return None
 
 
@@ -215,10 +232,18 @@ def exp(base, e: int) -> np.ndarray:
 
 
 def inverse(a) -> np.ndarray:
-    """a^-1 mod p (a != 0), via Fermat: a^(p-2)."""
+    """a^-1 mod p (a != 0).
+
+    Small arrays go through python-int pow (a few µs per element);
+    the vectorized Fermat chain costs ~128 numpy dispatches (~30 µs
+    EACH at small shapes — native-call overhead, not arithmetic), which
+    dominated the host verifier's latency profile (round 4)."""
     a = _as_u64(a)
     if np.any(a == 0):
         raise ZeroDivisionError("inverse of zero in Goldilocks field")
+    if a.size <= 64:
+        flat = [pow(int(x), P - 2, P) for x in a.ravel()]
+        return np.array(flat, dtype=np.uint64).reshape(a.shape)
     return exp(a, P - 2)
 
 

@@ -167,6 +167,14 @@ def hash_no_pad_rows(inputs: np.ndarray) -> np.ndarray:
     """Batched hash_no_pad over rows: (n, w) -> (n, 4)."""
     inputs = np.asarray(inputs, dtype=np.uint64)
     n, w = inputs.shape
+    if w > 0:
+        # whole absorb chain in one native call (the python chain pays
+        # one permute dispatch per 8 columns)
+        from .. import native
+
+        out = native.poseidon_hash_rows(inputs)
+        if out is not None:
+            return out
     state = np.zeros((n, WIDTH), dtype=np.uint64)
     for start in range(0, w, RATE):
         chunk = inputs[:, start : start + RATE]

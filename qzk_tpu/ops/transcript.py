@@ -39,7 +39,38 @@ class Challenger:
             self._duplex()
 
     def observe_elements(self, elements) -> None:
-        for e in np.asarray(elements, dtype=np.uint64).ravel():
+        arr = np.asarray(elements, dtype=np.uint64).ravel()
+        if arr.size == 0:
+            return
+        # bulk absorb in one native call (overwrite-mode semantics are
+        # identical: elements land in state[:k] exactly as the
+        # per-element duplex would place them); fall back to the
+        # element loop when the native library is unavailable
+        from .. import native
+
+        if self.state.flags.c_contiguous:
+            k0 = len(self.input_buf)
+            if k0:
+                # pending elements live in the python buffer; the C
+                # absorb expects them staged in state[:k0] (that is
+                # where the overwrite-mode duplex would place them)
+                self.state[:k0] = np.array(
+                    self.input_buf, dtype=np.uint64
+                )
+            k = native.challenger_absorb(self.state, k0, arr)
+            if k is not None:
+                if k:
+                    # last observation left pending input: python would
+                    # have cleared the output buffer and not duplexed
+                    self.output_buf.clear()
+                    self.input_buf = list(self.state[:k])
+                else:
+                    # last observation completed a block: the duplex
+                    # refreshed the output buffer with state[:RATE]
+                    self.output_buf = list(self.state[: poseidon.RATE])
+                    self.input_buf = []
+                return
+        for e in arr:
             self.observe_element(e)
 
     def observe_cap(self, cap: np.ndarray) -> None:

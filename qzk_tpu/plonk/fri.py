@@ -49,6 +49,36 @@ def ext_powers(base: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _modsum(a: np.ndarray, axis: int) -> np.ndarray:
+    """Sum modulo p along `axis` by pairwise folding — log2(k) wide
+    gl.add dispatches instead of k, and no u64 overflow."""
+    a = np.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    while n > 1:
+        half = n // 2
+        folded = gl.add(a[:half], a[half : 2 * half])
+        a = (
+            np.concatenate([folded, a[2 * half :]], axis=0)
+            if n & 1
+            else folded
+        )
+        n = a.shape[0]
+    return a[0]
+
+
+def _ext_powers_rows(x: np.ndarray, n: int) -> np.ndarray:
+    """Per-row extension powers: x (Q, 2) -> (Q, n, 2) with
+    out[q, t] = x[q]^t, via log2(n) vectorized doubling steps."""
+    Q = x.shape[0]
+    pows = np.zeros((Q, 1, 2), dtype=np.uint64)
+    pows[:, 0, 0] = 1
+    cur = x[:, None, :]  # x^(current length)
+    while pows.shape[1] < n:
+        pows = np.concatenate([pows, gl.ext_mul(pows, cur)], axis=1)
+        cur = gl.ext_mul(cur, cur)
+    return pows[:, :n]
+
+
 def flatten_ext(v: np.ndarray) -> np.ndarray:
     """(..., k, 2) -> (..., 2k) interleaved [c0, c1, c0, c1, ...]."""
     return v.reshape(*v.shape[:-2], -1)
@@ -311,10 +341,13 @@ def fri_verify(
     x0_ext = np.stack([x0, np.zeros(Q, dtype=np.uint64)], axis=-1)
     for (z, reduced_claim, col_idx) in batch_spec:
         cols = all_cols[:, col_idx]  # (Q, S_b)
-        comb = np.zeros((Q, 2), dtype=np.uint64)
-        for i in range(cols.shape[1] - 1, -1, -1):
-            comb = gl.ext_mul(comb, np.broadcast_to(alpha, (Q, 2)))
-            comb[:, 0] = gl.add(comb[:, 0], cols[:, i])
+        # comb = sum_i cols[:, i] * alpha^i as ONE wide base*ext
+        # product + a log-depth modular reduction (the per-column
+        # Horner paid ~70 µs of dispatch overhead per step)
+        apows = gl.ext_powers_vec(alpha, cols.shape[1])  # (S_b, 2)
+        comb = _modsum(
+            gl.mul(cols[:, :, None], apows[None, :, :]), axis=1
+        )  # (Q, 2)
         num = gl.ext_sub(comb, np.broadcast_to(reduced_claim, (Q, 2)))
         den = gl.ext_sub(x0_ext, np.broadcast_to(z, (Q, 2)))
         value = gl.ext_add(value, gl.ext_mul(num, ext_inverse_vec(den)))
@@ -347,11 +380,12 @@ def fri_verify(
         for _ in range(ab):
             x = gl.ext_mul(x, x)
 
-    # 4. final polynomial evaluation — batched
-    fp = np.zeros((Q, 2), dtype=np.uint64)
-    for c in proof.final_poly[::-1]:
-        fp = gl.ext_mul(fp, x)
-        fp = gl.ext_add(fp, np.broadcast_to(c, (Q, 2)))
+    # 4. final polynomial evaluation — batched over queries AND terms
+    T = len(proof.final_poly)
+    xp = _ext_powers_rows(x, T)  # (Q, T, 2)
+    fp = _modsum(
+        gl.ext_mul(xp, np.asarray(proof.final_poly)[None, :, :]), axis=1
+    )
     if not np.array_equal(fp, value):
         raise VerificationError("FRI final polynomial check failed")
 
@@ -376,8 +410,18 @@ def _batch_verify_merkle(
         h[:, :w] = leaves
     else:
         h = pos.hash_no_pad_rows(leaves)
+    depth = paths.shape[1]
+    from .. import native
+
+    walked = (
+        native.poseidon_merkle_walk(h, indices, paths) if depth else h
+    )
+    if walked is not None:
+        if not (cap[indices >> depth] == walked).all():
+            raise VerificationError("merkle proof failed")
+        return
     idx = indices.copy()
-    for d in range(paths.shape[1]):
+    for d in range(depth):
         sib = paths[:, d, :]
         left = np.where((idx & 1)[:, None].astype(bool), sib, h)
         right = np.where((idx & 1)[:, None].astype(bool), h, sib)
@@ -394,17 +438,18 @@ def _fold_batch(
     A = 1 << arity_bits
     Q = leaves.shape[0]
     W = _fold_matrices(arity_bits)
-    c = np.zeros((Q, A, 2), dtype=np.uint64)
-    for k in range(A):
-        c = gl.add(c, gl.mul(leaves[:, k, None, :], W[k][None, :, None]))
-    s_inv = gl.exp(s_j, gl.P - 2)  # (Q,)
+    # c[q, t] = sum_k leaves[q, k] * W[k, t]: one wide product + a
+    # log-depth modular sum (the k-loop paid 2A dispatches)
+    c = _modsum(
+        gl.mul(leaves[:, :, None, :], W[None, :, :, None]), axis=1
+    )  # (Q, A, 2)
+    s_inv = gl.inverse(s_j)  # (Q,) — python-pow path at this size
     t_pows = np.empty((Q, A), dtype=np.uint64)
     acc = np.ones(Q, dtype=np.uint64)
     for t in range(A):
         t_pows[:, t] = acc
         acc = gl.mul(acc, s_inv)
     c = gl.mul(c, t_pows[..., None])
-    out = np.zeros((Q, 2), dtype=np.uint64)
-    for t in reversed(range(A)):
-        out = gl.ext_add(gl.ext_mul(out, np.broadcast_to(beta, (Q, 2))), c[:, t])
-    return out
+    # out = sum_t c[:, t] * beta^t, one wide ext product + modsum
+    bpows = gl.ext_powers_vec(beta, A)  # (A, 2)
+    return _modsum(gl.ext_mul(c, bpows[None, :, :]), axis=1)
