@@ -91,11 +91,27 @@ def main(argv: list[str] | None = None) -> None:
         t0 = time.perf_counter()
         aggregated = aggregator.aggregate()
         agg_s = time.perf_counter() - t0
+        # warm re-aggregation: same chunk circuits and device contexts
+        # (the proving-service steady state — one batch after another);
+        # the first value pays one-time per-circuit executable loads
+        # and device uploads through the accelerator tunnel
+        aggregator2 = WormholeProofAggregator(
+            verifier_data, config=agg_cfg, dummy_proof=leaf_proof
+        )
+        for _ in range(agg_cfg.num_leaf_proofs):
+            aggregator2.push_proof(leaf_proof)
+        t0 = time.perf_counter()
+        aggregated2 = aggregator2.aggregate()
+        warm_s = time.perf_counter() - t0
+        assert (
+            aggregated2.proof.to_bytes() == aggregated.proof.to_bytes()
+        )
         print(
             json.dumps(
                 {
                     "metric": f"aggregate_proofs_{branching}_{depth}",
                     "value": round(agg_s, 3),
+                    "value_warm": round(warm_s, 3),
                     "unit": "s",
                 }
             ),

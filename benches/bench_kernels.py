@@ -137,12 +137,44 @@ def main() -> None:
     plan4 = ntt_mod.get_fourstep_plan(log_n)
     tw = jnp.asarray(plan4.twiddle)
     dt_4 = _bench(jax.jit(plan4.ntt), coeffs, tw)
-    dt = min(dt_r2, dt_4)
+    _emit(
+        metric=f"goldilocks_ntt_2pow{log_n}_fourstep_xla",
+        value=round(dt_4, 4),
+        unit="s",
+    )
+    dt_pallas = float("inf")
+    try:
+        from qzk_tpu.ops import ntt_pallas as npal
+
+        plan_p = npal.get_fourstep_pallas_plan(log_n)
+        fp = jax.jit(lambda x, t: plan_p.ntt(x, t))
+        got = np.asarray(fp(coeffs, tw))
+        want = np.asarray(jax.jit(plan4.ntt)(coeffs, tw))
+        assert np.array_equal(got, want), "pallas NTT != XLA four-step"
+        dt_pallas = _bench(fp, coeffs, tw)
+        _emit(
+            metric=f"goldilocks_ntt_2pow{log_n}_fourstep_pallas",
+            value=round(dt_pallas, 4),
+            unit="s",
+        )
+    except Exception as e:
+        _emit(
+            metric=f"goldilocks_ntt_2pow{log_n}_fourstep_pallas",
+            value=-1,
+            unit="s",
+            error=f"{type(e).__name__}: {e}"[:200],
+        )
+    best = min(
+        ("radix-2", dt_r2), ("four-step", dt_4),
+        ("four-step-pallas", dt_pallas),
+        key=lambda kv: kv[1],
+    )
+    dt = best[1]
     _emit(
         metric=f"goldilocks_ntt_2pow{log_n}",
         value=round(dt, 4),
         unit="s",
-        kernel="four-step" if dt_4 <= dt_r2 else "radix-2",
+        kernel=best[0],
         roofline_s=round(sol_s, 5),
         efficiency_pct=round(100 * sol_s / dt, 1),
         roofline_model=(

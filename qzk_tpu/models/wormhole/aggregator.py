@@ -172,6 +172,9 @@ def _build_chunk_circuit_uncached(common, branching: int) -> _ChunkCircuit:
 def _prove_chunk(
     circuit: _ChunkCircuit, chunk: list, verifier_only
 ) -> AggregatedProof:
+    import time
+
+    t0 = time.perf_counter()
     pw = PartialWitness()
     rec.set_verifier_data_target(
         pw, circuit.verifier_data_target, verifier_only
@@ -180,6 +183,13 @@ def _prove_chunk(
     for pt, proof in zip(circuit.proof_targets, chunk):
         rec.set_proof_with_pis_target(pw, pt, proof)
     proof = circuit.data.prove(pw)
+    if os.environ.get("QZK_TIMING") == "1":
+        print(
+            f"[agg-timing] chunk prove ({len(chunk)} children, degree "
+            f"2^{circuit.data.common.degree_bits}): "
+            f"{time.perf_counter() - t0:.2f}s",
+            flush=True,
+        )
     return AggregatedProof(proof=proof, circuit_data=circuit.data)
 
 

@@ -136,3 +136,48 @@ class TestFourStep:
         want = ntt.powers(base, 100)
         got = ntt.powers_mul_table(base, 100)
         assert np.array_equal(got, want)
+
+
+class TestFourStepPallas:
+    """Pallas four-step NTT (interpret mode on the CPU backend; the
+    TPU-compiled path is exercised by benches/bench_kernels.py)."""
+
+    @pytest.mark.parametrize("log_n", [6, 10, 14])
+    def test_matches_oracle(self, log_n):
+        import jax.numpy as jnp
+
+        from qzk_tpu.ops import ntt_pallas as npal
+
+        rng = np.random.default_rng(log_n)
+        x = rng.integers(0, 1 << 63, size=(1, 1 << log_n), dtype=np.uint64)
+        plan = npal.get_fourstep_pallas_plan(log_n)
+        got = np.asarray(
+            plan.ntt(
+                jnp.asarray(x), jnp.asarray(plan.twiddle), interpret=True
+            )
+        )
+        assert np.array_equal(got, ntt.ntt_np(x))
+
+    def test_gsub_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from qzk_tpu.ops import ntt_pallas as npal
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, gl.P, size=4096, dtype=np.uint64)
+        b = rng.integers(0, gl.P, size=4096, dtype=np.uint64)
+        # include wrap-heavy edge pairs
+        edge = np.array(
+            [0, 1, gl.P - 1, 1 << 32, (1 << 32) - 1], dtype=np.uint64
+        )
+        a = np.concatenate([a, edge, np.zeros_like(edge)])
+        b = np.concatenate([b, np.zeros_like(edge), edge])
+        alo = jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32))
+        ahi = jnp.asarray((a >> np.uint64(32)).astype(np.uint32))
+        blo = jnp.asarray((b & 0xFFFFFFFF).astype(np.uint32))
+        bhi = jnp.asarray((b >> np.uint64(32)).astype(np.uint32))
+        lo, hi = npal._gsub(alo, ahi, blo, bhi)
+        got = np.asarray(lo, dtype=np.uint64) | (
+            np.asarray(hi, dtype=np.uint64) << np.uint64(32)
+        )
+        assert np.array_equal(got, gl.sub(a, b))
