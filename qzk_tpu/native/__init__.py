@@ -91,7 +91,77 @@ def _build_and_load():
     lib.gl_ntt_rows.argtypes = [
         u64p, ctypes.c_long, ctypes.c_long, u64p, ctypes.c_int,
     ]
+    lib.poseidon_set_fast_tables.argtypes = [u64p, ctypes.c_int]
+    try:
+        tables, n_partial = _fast_partial_tables()
+        lib.poseidon_set_fast_tables(_ptr(tables), n_partial)
+    except Exception:
+        pass  # naive permutation path remains correct without tables
     return lib
+
+
+def _fast_partial_tables() -> tuple[np.ndarray, int]:
+    """Derive the fast partial-round tables (Poseidon paper, appendix
+    B) exactly mod p.  Each partial round r applies x -> M(sbox0(x+c));
+    keeping an implicit pending dense matrix D_r = Mh^r on coords 1..11
+    turns that into one sbox + a sparse update with precomputed
+    vectors:  c_hat_r = D_r^-1 c_r[1:],  v_row_r = v^T D_r,
+    w_hat_r = (Mh D_r)^-1 w,  plus one final dense 11x11 apply.
+    Layout per round: [c0 | c_hat(11) | v_row(11) | w_hat(11)]; tail =
+    D_final row-major (121).  Bit-exactness vs the naive permutation is
+    covered by tests/test_poseidon.py (native vs numpy oracle)."""
+    from ..ops import poseidon as pos
+
+    p = 0xFFFFFFFF00000001
+    width = pos.WIDTH
+    n_partial = pos.N_PARTIAL_ROUNDS
+    m = [[int(pos.MDS_MATRIX[r][c]) for c in range(width)]
+         for r in range(width)]
+    rc = np.asarray(pos._RC)
+    v = [m[0][c] for c in range(1, width)]
+    w = [m[r][0] for r in range(1, width)]
+    mh = [[m[r][c] for c in range(1, width)] for r in range(1, width)]
+    n = width - 1
+
+    def mat_mul(a, b):
+        return [
+            [sum(a[i][t] * b[t][j] for t in range(n)) % p for j in range(n)]
+            for i in range(n)
+        ]
+
+    def mat_vec(a, x):
+        return [sum(r * e for r, e in zip(row, x)) % p for row in a]
+
+    def mat_inv(a):
+        aug = [
+            [a[i][j] % p for j in range(n)]
+            + [1 if i == j else 0 for j in range(n)]
+            for i in range(n)
+        ]
+        for col in range(n):
+            piv = next(r for r in range(col, n) if aug[r][col] % p)
+            aug[col], aug[piv] = aug[piv], aug[col]
+            inv = pow(aug[col][col], p - 2, p)
+            aug[col] = [x * inv % p for x in aug[col]]
+            for r in range(n):
+                if r != col and aug[r][col]:
+                    f = aug[r][col]
+                    aug[r] = [
+                        (x - f * y) % p for x, y in zip(aug[r], aug[col])
+                    ]
+        return [row[n:] for row in aug]
+
+    d = [[1 if i == j else 0 for j in range(n)] for i in range(n)]
+    flat: list[int] = []
+    for r in range(n_partial):
+        c = [int(x) for x in rc[pos.HALF_FULL + r]]
+        flat.append(c[0])
+        flat += mat_vec(mat_inv(d), c[1:])
+        flat += mat_vec([[d[i][j] for i in range(n)] for j in range(n)], v)
+        d = mat_mul(mh, d)
+        flat += mat_vec(mat_inv(d), w)
+    flat += [d[i][j] for i in range(n) for j in range(n)]
+    return np.array(flat, dtype=np.uint64), n_partial
 
 
 def get_lib():

@@ -95,9 +95,30 @@ void gl_sub_sa(u64 s, const u64 *b, u64 *out, long n) {
 
 } // extern "C"
 
-// One Poseidon permutation on a width-12 state (shared core).
-static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
-                               int half_full, int n_partial) {
+// Fast partial-round tables (the standard Poseidon-paper appendix-B
+// optimization: keep an implicit pending dense matrix on coords 1..11
+// so each partial round is one sbox + a sparse 23-mul update instead
+// of a 144-mul MDS).  Derived exactly mod p by the python loader
+// (native/__init__.py:_fast_partial_tables) from the same MDS/round
+// constants every caller passes in, and verified bit-exact against the
+// numpy oracle by the test suite; layout per round:
+//   [c0 (1) | c_hat (11) | v_row (11) | w_hat (11)]  (34 u64)
+// followed by the 11x11 dense final matrix (121 u64).
+static u64 FAST_T[22 * 34 + 121];
+static int FAST_N = 0; // n_partial the tables were built for; 0 = off
+
+extern "C" void poseidon_set_fast_tables(const u64 *t, int n_partial) {
+  if (n_partial <= 0 || n_partial > 22) {
+    FAST_N = 0;
+    return;
+  }
+  std::memcpy(FAST_T, t, (n_partial * 34 + 121) * sizeof(u64));
+  FAST_N = n_partial;
+}
+
+static inline void permute_one_naive(u64 *s, const u64 m[12][12],
+                                     const u64 *rc, int half_full,
+                                     int n_partial) {
   u64 tmp[12];
   int n_rounds = 2 * half_full + n_partial;
   for (int r = 0; r < n_rounds; ++r) {
@@ -109,6 +130,52 @@ static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
       for (int i = 0; i < 12; ++i) s[i] = gadd(s[i], rcr[i]);
       s[0] = sbox7(s[0]);
     }
+    mds(m, s, tmp);
+    std::memcpy(s, tmp, 12 * sizeof(u64));
+  }
+}
+
+// One Poseidon permutation on a width-12 state (shared core).
+static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
+                               int half_full, int n_partial) {
+  if (FAST_N != n_partial) {
+    permute_one_naive(s, m, rc, half_full, n_partial);
+    return;
+  }
+  u64 tmp[12];
+  for (int r = 0; r < half_full; ++r) { // initial full rounds
+    const u64 *rcr = rc + r * 12;
+    for (int i = 0; i < 12; ++i) s[i] = sbox7(gadd(s[i], rcr[i]));
+    mds(m, s, tmp);
+    std::memcpy(s, tmp, 12 * sizeof(u64));
+  }
+  const u64 mu = m[0][0];
+  const u64 *t = FAST_T;
+  for (int r = 0; r < n_partial; ++r, t += 34) {
+    const u64 *ch = t + 1, *vr = t + 12, *wh = t + 23;
+    u64 y0 = sbox7(gadd(s[0], t[0]));
+    u64 d = gmul(mu, y0);
+    for (int i = 0; i < 11; ++i) {
+      u64 yi = gadd(s[1 + i], ch[i]);
+      s[1 + i] = yi;
+      d = gadd(d, gmul(vr[i], yi));
+    }
+    for (int i = 0; i < 11; ++i)
+      s[1 + i] = gadd(s[1 + i], gmul(wh[i], y0));
+    s[0] = d;
+  }
+  u64 shn[11]; // materialize the pending dense matrix once
+  for (int i = 0; i < 11; ++i) {
+    u64 acc = 0;
+    for (int j = 0; j < 11; ++j)
+      acc = gadd(acc, gmul(t[i * 11 + j], s[1 + j]));
+    shn[i] = acc;
+  }
+  std::memcpy(s + 1, shn, sizeof shn);
+  for (int r = half_full + n_partial; r < 2 * half_full + n_partial;
+       ++r) { // final full rounds
+    const u64 *rcr = rc + r * 12;
+    for (int i = 0; i < 12; ++i) s[i] = sbox7(gadd(s[i], rcr[i]));
     mds(m, s, tmp);
     std::memcpy(s, tmp, 12 * sizeof(u64));
   }

@@ -71,6 +71,13 @@ def _native_binop(a, b, ew, sa, as_=None):
     import ctypes
 
     p = ctypes.POINTER(ctypes.c_uint64)
+    # strided views (e.g. the [..., 0] component slices of packed
+    # (..., 2) extension arrays) are cheap to materialize relative to
+    # the ~16-dispatch numpy fallback they would otherwise take
+    if a.ndim and not a.flags.c_contiguous and a.size <= (1 << 16):
+        a = np.ascontiguousarray(a)
+    if b.ndim and not b.flags.c_contiguous and b.size <= (1 << 16):
+        b = np.ascontiguousarray(b)
     if (
         a.shape == b.shape
         and a.ndim
@@ -318,6 +325,7 @@ def sum_mod(a: np.ndarray, axis: int = -1) -> np.ndarray:
 
 W_EXT = 7
 _W = np.uint64(W_EXT)
+_PI = P  # python-int modulus for the single-scalar fast paths
 # Frobenius constant: W^((p-1)/2) = -1 for non-residue; x^p = -x ... the
 # Frobenius map sends (c0, c1) -> (c0, c1 * DTH_ROOT) with
 # DTH_ROOT = W^((p-1)/2) mod p.
@@ -330,19 +338,40 @@ def ext(c0, c1=0) -> np.ndarray:
     return np.stack([c0, c1], axis=-1)
 
 
+def _is_pair(a) -> bool:
+    return isinstance(a, np.ndarray) and a.shape == (2,)
+
+
 def ext_add(a, b) -> np.ndarray:
+    if _is_pair(a) and _is_pair(b):
+        # single ext scalar: python ints beat three array dispatches
+        return np.array(
+            [(int(a[0]) + int(b[0])) % _PI, (int(a[1]) + int(b[1])) % _PI],
+            dtype=np.uint64,
+        )
     return np.stack(
         [add(a[..., 0], b[..., 0]), add(a[..., 1], b[..., 1])], axis=-1
     )
 
 
 def ext_sub(a, b) -> np.ndarray:
+    if _is_pair(a) and _is_pair(b):
+        return np.array(
+            [(int(a[0]) - int(b[0])) % _PI, (int(a[1]) - int(b[1])) % _PI],
+            dtype=np.uint64,
+        )
     return np.stack(
         [sub(a[..., 0], b[..., 0]), sub(a[..., 1], b[..., 1])], axis=-1
     )
 
 
 def ext_mul(a, b) -> np.ndarray:
+    if _is_pair(a) and _is_pair(b):
+        a0, a1, b0, b1 = int(a[0]), int(a[1]), int(b[0]), int(b[1])
+        return np.array(
+            [(a0 * b0 + 7 * a1 * b1) % _PI, (a0 * b1 + a1 * b0) % _PI],
+            dtype=np.uint64,
+        )
     a0, a1 = a[..., 0], a[..., 1]
     b0, b1 = b[..., 0], b[..., 1]
     c0 = add(mul(a0, b0), mul(_W, mul(a1, b1)))
