@@ -30,6 +30,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_HBM_BYTES_PER_S = 819e9
@@ -38,17 +40,61 @@ POSEIDON_U32_OPS_PER_PERM = 1.4e5
 NTT_U32_OPS_PER_BUTTERFLY = 50
 
 
-def _bench(fn, *args, iters: int = 5):
-    import jax
+_FLOOR = {"s": None}
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+
+def _launch_floor() -> float:
+    """Per-sync round-trip floor through the axon tunnel (~22 ms on
+    this deployment, measured fresh every run): one trivial executable
+    launch + an 8-byte download.  Subtracted from every kernel number —
+    block_until_ready-style timings on this backend measure the tunnel,
+    not the kernel (round-4's 30.6 ms '2^22 NTT' was ~22 ms of floor
+    over a 4.4 ms transform)."""
+    if _FLOOR["s"] is None:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((8,), jnp.uint64)
+        f = jax.jit(lambda v: v.sum())
+        float(np.asarray(f(x)))  # compile + warm
+        ts = sorted(
+            _timed(lambda: float(np.asarray(f(x)))) for _ in range(15)
+        )
+        _FLOOR["s"] = ts[len(ts) // 2]
+    return _FLOOR["s"]
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
+def _bench(fn, *args, iters: int = 11):
+    """Net median seconds of one fn(*args) on device: the outputs are
+    reduced to a single u64 scalar ON DEVICE (so only 8 bytes download
+    per iteration, a full sync) and the per-sync launch floor is
+    subtracted."""
+    import jax
+    import jax.numpy as jnp
+
+    def reduced(*a):
+        out = fn(*a)
+        leaves = jax.tree.leaves(out)
+        acc = jnp.uint64(0)
+        for leaf in leaves:
+            acc = acc + jnp.sum(
+                jnp.asarray(leaf).astype(jnp.uint64)
+            )
+        return acc
+
+    g = jax.jit(reduced)
+    float(np.asarray(g(*args)))  # compile + warm
+    ts = sorted(
+        _timed(lambda: float(np.asarray(g(*args)))) for _ in range(iters)
+    )
+    med = ts[len(ts) // 2]
+    return max(med - _launch_floor(), 1e-6)
 
 
 def _emit(**kw):
@@ -179,6 +225,11 @@ def main() -> None:
         efficiency_pct=round(100 * sol_s / dt, 1),
         roofline_model=(
             "max(n/2*log2(n)*50 u32 ops / 4e12, 2*8n B / 819e9)"
+        ),
+        sync_floor_s=round(_launch_floor(), 4),
+        protocol=(
+            "net of the per-sync tunnel floor: on-device u64 "
+            "reduction, 8-byte download per iter, median of 11"
         ),
     )
 

@@ -91,10 +91,24 @@ def _build_and_load():
     lib.gl_ntt_rows.argtypes = [
         u64p, ctypes.c_long, ctypes.c_long, u64p, ctypes.c_int,
     ]
-    lib.poseidon_set_fast_tables.argtypes = [u64p, ctypes.c_int]
+    lib.poseidon_set_fast_tables.argtypes = [
+        u64p, ctypes.c_int, ctypes.c_int, u64, u64,
+    ]
     try:
+        from ..ops import poseidon as pos
+
         tables, n_partial = _fast_partial_tables()
-        lib.poseidon_set_fast_tables(_ptr(tables), n_partial)
+        # fingerprint of the constants the tables were derived from —
+        # permute_one only takes the fast path when the caller's
+        # constants match (ADVICE r4: protects future C-ABI callers
+        # with different Poseidon constants from silent wrong hashes)
+        lib.poseidon_set_fast_tables(
+            _ptr(tables),
+            n_partial,
+            pos.HALF_FULL,
+            int(pos.MDS_MATRIX[0][0]),
+            int(pos._RC[pos.HALF_FULL][0]),
+        )
     except Exception:
         pass  # naive permutation path remains correct without tables
     return lib

@@ -106,15 +106,150 @@ void gl_sub_sa(u64 s, const u64 *b, u64 *out, long n) {
 // followed by the 11x11 dense final matrix (121 u64).
 static u64 FAST_T[22 * 34 + 121];
 static int FAST_N = 0; // n_partial the tables were built for; 0 = off
+// Fingerprint of the Poseidon constants the tables were derived from:
+// the fast path is only taken when the caller's constants match (a
+// C-ABI caller with different MDS/round constants but the same
+// n_partial would otherwise silently hash wrong).
+static int FAST_HALF_FULL = -1;
+static u64 FAST_M00 = 0, FAST_RC0 = 0;
 
-extern "C" void poseidon_set_fast_tables(const u64 *t, int n_partial) {
+extern "C" void poseidon_set_fast_tables(const u64 *t, int n_partial,
+                                         int half_full, u64 m00, u64 rc0) {
   if (n_partial <= 0 || n_partial > 22) {
     FAST_N = 0;
     return;
   }
   std::memcpy(FAST_T, t, (n_partial * 34 + 121) * sizeof(u64));
   FAST_N = n_partial;
+  FAST_HALF_FULL = half_full;
+  FAST_M00 = m00;
+  FAST_RC0 = rc0;
 }
+
+// ---------------------------------------------------------------------------
+// 8-way AVX-512 lane-parallel field/Poseidon path (8 independent
+// states in structure-of-arrays layout).  Bit-exact mirror of the
+// scalar ops above (same wrap/borrow semantics via mask arithmetic);
+// selected at runtime when the host supports AVX-512F/DQ and falls
+// back to the scalar loops otherwise.  This is host-side SIMD for the
+// witness generators and the one-time circuit-build commitment — the
+// bulk prover hashing runs on the TPU (ops/poseidon_pallas.py).
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#define QZK_AVX512 1
+#include <immintrin.h>
+
+namespace v8ops {
+using v8 = __m512i;
+
+static inline v8 bc(u64 x) { return _mm512_set1_epi64((long long)x); }
+
+static inline v8 vgadd(v8 a, v8 b) {
+  const v8 EPSV = bc(EPS), PV = bc(P);
+  v8 s = _mm512_add_epi64(a, b);
+  __mmask8 c = _mm512_cmplt_epu64_mask(s, a);
+  s = _mm512_mask_add_epi64(s, c, s, EPSV);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(s, PV);
+  s = _mm512_mask_sub_epi64(s, ge, s, PV);
+  return s;
+}
+
+static inline v8 vgsub(v8 a, v8 b) {
+  const v8 EPSV = bc(EPS);
+  v8 d = _mm512_sub_epi64(a, b);
+  __mmask8 bor = _mm512_cmplt_epu64_mask(a, b);
+  d = _mm512_mask_sub_epi64(d, bor, d, EPSV);
+  return d;
+}
+
+static inline void vmul128(v8 a, v8 b, v8 &hi, v8 &lo) {
+  const v8 M32 = bc(0xFFFFFFFFULL);
+  v8 a_hi = _mm512_srli_epi64(a, 32);
+  v8 b_hi = _mm512_srli_epi64(b, 32);
+  v8 lolo = _mm512_mul_epu32(a, b);
+  v8 hilo = _mm512_mul_epu32(a_hi, b);
+  v8 lohi = _mm512_mul_epu32(a, b_hi);
+  v8 hihi = _mm512_mul_epu32(a_hi, b_hi);
+  v8 cross = _mm512_add_epi64(
+      _mm512_add_epi64(_mm512_srli_epi64(lolo, 32),
+                       _mm512_and_si512(hilo, M32)),
+      _mm512_and_si512(lohi, M32));
+  hi = _mm512_add_epi64(
+      _mm512_add_epi64(hihi, _mm512_srli_epi64(hilo, 32)),
+      _mm512_add_epi64(_mm512_srli_epi64(lohi, 32),
+                       _mm512_srli_epi64(cross, 32)));
+  lo = _mm512_or_si512(_mm512_slli_epi64(cross, 32),
+                       _mm512_and_si512(lolo, M32));
+}
+
+static inline v8 vreduce128(v8 hi, v8 lo) {
+  const v8 EPSV = bc(EPS), PV = bc(P);
+  v8 hi_hi = _mm512_srli_epi64(hi, 32);
+  v8 hi_lo = _mm512_and_si512(hi, EPSV);
+  __mmask8 bor = _mm512_cmplt_epu64_mask(lo, hi_hi);
+  v8 t = _mm512_sub_epi64(lo, hi_hi);
+  t = _mm512_mask_sub_epi64(t, bor, t, EPSV);
+  // hi_lo * EPS == (hi_lo << 32) - hi_lo, exact (hi_lo < 2^32)
+  v8 a = _mm512_sub_epi64(_mm512_slli_epi64(hi_lo, 32), hi_lo);
+  v8 s = _mm512_add_epi64(t, a);
+  __mmask8 c = _mm512_cmplt_epu64_mask(s, t);
+  s = _mm512_mask_add_epi64(s, c, s, EPSV);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(s, PV);
+  s = _mm512_mask_sub_epi64(s, ge, s, PV);
+  ge = _mm512_cmpge_epu64_mask(s, PV);
+  s = _mm512_mask_sub_epi64(s, ge, s, PV);
+  return s;
+}
+
+static inline v8 vgmul(v8 a, v8 b) {
+  v8 hi, lo;
+  vmul128(a, b, hi, lo);
+  return vreduce128(hi, lo);
+}
+
+static inline v8 vsbox7(v8 x) {
+  v8 x2 = vgmul(x, x);
+  v8 x3 = vgmul(x2, x);
+  v8 x4 = vgmul(x2, x2);
+  return vgmul(x4, x3);
+}
+
+// MDS with tiny entries (max 41 < 2^7): per output row accumulate the
+// 12 products as a (hi, lo) u64 pair per lane (sum < 2^74), then one
+// reduction — mirrors the scalar u128 accumulation exactly.
+static inline void vmds(const u64 m[12][12], const v8 *in, v8 *out) {
+  const v8 one = bc(1);
+  for (int r = 0; r < 12; ++r) {
+    v8 acc_lo = _mm512_setzero_si512();
+    v8 acc_hi = _mm512_setzero_si512();
+    for (int c = 0; c < 12; ++c) {
+      v8 mv = bc(m[r][c]);
+      v8 x = in[c];
+      v8 p1 = _mm512_mul_epu32(mv, x);  // m * x_lo
+      v8 p2 = _mm512_mul_epu32(mv, _mm512_srli_epi64(x, 32));
+      v8 lo = _mm512_add_epi64(p1, _mm512_slli_epi64(p2, 32));
+      __mmask8 c1 = _mm512_cmplt_epu64_mask(lo, p1);
+      v8 hi = _mm512_srli_epi64(p2, 32);
+      hi = _mm512_mask_add_epi64(hi, c1, hi, one);
+      v8 nlo = _mm512_add_epi64(acc_lo, lo);
+      __mmask8 c2 = _mm512_cmplt_epu64_mask(nlo, acc_lo);
+      acc_lo = nlo;
+      acc_hi = _mm512_add_epi64(acc_hi, hi);
+      acc_hi = _mm512_mask_add_epi64(acc_hi, c2, acc_hi, one);
+    }
+    out[r] = vreduce128(acc_hi, acc_lo);
+  }
+}
+
+} // namespace v8ops
+
+static inline bool have_avx512() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512dq");
+  return ok;
+}
+#else
+static inline bool have_avx512() { return false; }
+#endif
 
 static inline void permute_one_naive(u64 *s, const u64 m[12][12],
                                      const u64 *rc, int half_full,
@@ -138,7 +273,8 @@ static inline void permute_one_naive(u64 *s, const u64 m[12][12],
 // One Poseidon permutation on a width-12 state (shared core).
 static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
                                int half_full, int n_partial) {
-  if (FAST_N != n_partial) {
+  if (FAST_N != n_partial || FAST_HALF_FULL != half_full ||
+      FAST_M00 != m[0][0] || FAST_RC0 != rc[half_full * 12]) {
     permute_one_naive(s, m, rc, half_full, n_partial);
     return;
   }
@@ -181,6 +317,137 @@ static inline void permute_one(u64 *s, const u64 m[12][12], const u64 *rc,
   }
 }
 
+#ifdef QZK_AVX512
+// 8 permutations at once (states in SoA: s[i] holds element i of 8
+// states).  Fast-partial-round factorization identical to permute_one;
+// callers must have checked the FAST_* fingerprint first.
+static void permute8_fast(v8ops::v8 *s, const u64 m[12][12], const u64 *rc,
+                          int half_full, int n_partial) {
+  using namespace v8ops;
+  v8 tmp[12];
+  for (int r = 0; r < half_full; ++r) {
+    const u64 *rcr = rc + r * 12;
+    for (int i = 0; i < 12; ++i) tmp[i] = vsbox7(vgadd(s[i], bc(rcr[i])));
+    vmds(m, tmp, s);
+  }
+  const u64 mu = m[0][0];
+  const u64 *t = FAST_T;
+  for (int r = 0; r < n_partial; ++r, t += 34) {
+    const u64 *ch = t + 1, *vr = t + 12, *wh = t + 23;
+    v8 y0 = vsbox7(vgadd(s[0], bc(t[0])));
+    v8 d = vgmul(bc(mu), y0);
+    for (int i = 0; i < 11; ++i) {
+      v8 yi = vgadd(s[1 + i], bc(ch[i]));
+      s[1 + i] = yi;
+      d = vgadd(d, vgmul(bc(vr[i]), yi));
+    }
+    for (int i = 0; i < 11; ++i)
+      s[1 + i] = vgadd(s[1 + i], vgmul(bc(wh[i]), y0));
+    s[0] = d;
+  }
+  v8 shn[11];
+  for (int i = 0; i < 11; ++i) {
+    v8 acc = _mm512_setzero_si512();
+    for (int j = 0; j < 11; ++j)
+      acc = vgadd(acc, vgmul(bc(t[i * 11 + j]), s[1 + j]));
+    shn[i] = acc;
+  }
+  for (int i = 0; i < 11; ++i) s[1 + i] = shn[i];
+  for (int r = half_full + n_partial; r < 2 * half_full + n_partial; ++r) {
+    const u64 *rcr = rc + r * 12;
+    for (int i = 0; i < 12; ++i) tmp[i] = vsbox7(vgadd(s[i], bc(rcr[i])));
+    vmds(m, tmp, s);
+  }
+}
+
+// 8-way Poseidon-gate witness trace (the shape poseidon_trace and the
+// witness-plan executor both record): AoS in (8, 12), swap (8,) ->
+// deltas (8, 4), stored (8, stored_w), outputs (8, 12).
+static void trace8_core(const u64 *in, const u64 *swp, const u64 m[12][12],
+                        const u64 *rc, int half_full, int n_partial,
+                        u64 *dl, u64 *st, u64 *out, long stored_w) {
+  using namespace v8ops;
+  v8 sv[12], tmpv[12], prev[12], inv[12];
+  alignas(64) u64 col[8];
+  auto ld = [&](const u64 *base, long stride, long off) {
+    for (int l = 0; l < 8; ++l) col[l] = base[l * stride + off];
+    return _mm512_load_si512((const void *)col);
+  };
+  auto stv = [&](u64 *base, long stride, long off, v8 x) {
+    _mm512_store_si512((void *)col, x);
+    for (int l = 0; l < 8; ++l) base[l * stride + off] = col[l];
+  };
+  for (int i = 0; i < 12; ++i) inv[i] = ld(in, 12, i);
+  v8 sw = ld(swp, 1, 0);
+  for (int i = 0; i < 4; ++i) {
+    v8 d = vgmul(sw, vgsub(inv[i + 4], inv[i]));
+    stv(dl, 4, i, d);
+    sv[i] = vgadd(inv[i], d);
+    sv[i + 4] = vgsub(inv[i + 4], d);
+  }
+  for (int i = 8; i < 12; ++i) sv[i] = inv[i];
+  long sp = 0;
+  for (int i = 0; i < 12; ++i) tmpv[i] = vsbox7(vgadd(sv[i], bc(rc[i])));
+  vmds(m, tmpv, sv);
+  for (int r = 1; r < half_full; ++r) {
+    const u64 *rcr = rc + r * 12;
+    for (int i = 0; i < 12; ++i) {
+      prev[i] = vgadd(sv[i], bc(rcr[i]));
+      stv(st, stored_w, sp + i, prev[i]);
+      tmpv[i] = vsbox7(prev[i]);
+    }
+    sp += 12;
+    vmds(m, tmpv, sv);
+  }
+  for (int pr = 0; pr < n_partial; ++pr) {
+    const u64 *rcr = rc + (half_full + pr) * 12;
+    for (int i = 0; i < 12; ++i) prev[i] = vgadd(sv[i], bc(rcr[i]));
+    stv(st, stored_w, sp, prev[0]);
+    sp += 1;
+    prev[0] = vsbox7(prev[0]);
+    vmds(m, prev, sv);
+  }
+  for (int r = 0; r < half_full; ++r) {
+    const u64 *rcr = rc + (half_full + n_partial + r) * 12;
+    for (int i = 0; i < 12; ++i) {
+      prev[i] = vgadd(sv[i], bc(rcr[i]));
+      stv(st, stored_w, sp + i, prev[i]);
+      tmpv[i] = vsbox7(prev[i]);
+    }
+    sp += 12;
+    vmds(m, tmpv, sv);
+  }
+  for (int i = 0; i < 12; ++i) stv(out, 12, i, sv[i]);
+}
+
+// AoS (8 states, stride `stride` u64 apart) -> SoA and back.
+static inline void load8(const u64 *base, long stride, v8ops::v8 *s,
+                         int w = 12) {
+  alignas(64) u64 col[8];
+  for (int i = 0; i < w; ++i) {
+    for (int l = 0; l < 8; ++l) col[l] = base[l * stride + i];
+    s[i] = _mm512_load_si512((const void *)col);
+  }
+}
+static inline void store8(u64 *base, long stride, const v8ops::v8 *s,
+                          int w = 12) {
+  alignas(64) u64 col[8];
+  for (int i = 0; i < w; ++i) {
+    _mm512_store_si512((void *)col, s[i]);
+    for (int l = 0; l < 8; ++l) base[l * stride + i] = col[l];
+  }
+}
+#endif
+
+// True when the 8-way fast path may serve (half_full, n_partial) with
+// the caller's constants.
+static inline bool fast8_ok(const u64 m[12][12], const u64 *rc,
+                            int half_full, int n_partial) {
+  return have_avx512() && FAST_N == n_partial &&
+         FAST_HALF_FULL == half_full && FAST_M00 == m[0][0] &&
+         FAST_RC0 == rc[half_full * 12];
+}
+
 extern "C" {
 
 // Batched Poseidon permutation: states (B, 12) in-place.
@@ -190,7 +457,18 @@ void poseidon_permute(u64 *states, long B, const u64 *mds_m, const u64 *rc,
   u64 m[12][12];
   for (int r = 0; r < 12; ++r)
     for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
-  for (long b = 0; b < B; ++b)
+  long b = 0;
+#ifdef QZK_AVX512
+  if (fast8_ok(m, rc, half_full, n_partial)) {
+    v8ops::v8 s[12];
+    for (; b + 8 <= B; b += 8) {
+      load8(states + b * 12, 12, s);
+      permute8_fast(s, m, rc, half_full, n_partial);
+      store8(states + b * 12, 12, s);
+    }
+  }
+#endif
+  for (; b < B; ++b)
     permute_one(states + b * 12, m, rc, half_full, n_partial);
 }
 
@@ -205,7 +483,28 @@ void poseidon_hash_rows(const u64 *rows, long B, long w, const u64 *mds_m,
   for (int r = 0; r < 12; ++r)
     for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
   auto run = [&](long lo, long hi) {
-    for (long b = lo; b < hi; ++b) {
+    long b = lo;
+#ifdef QZK_AVX512
+    if (fast8_ok(m, rc, half_full, n_partial)) {
+      v8ops::v8 s[12];
+      alignas(64) u64 col[8];
+      for (; b + 8 <= hi; b += 8) {
+        for (int i = 0; i < 12; ++i) s[i] = _mm512_setzero_si512();
+        for (long start = 0; start < w; start += 8) {
+          long len = w - start < 8 ? w - start : 8;
+          // overwrite-mode absorb: lanes 0..len-1 from each row
+          for (long i = 0; i < len; ++i) {
+            for (int l = 0; l < 8; ++l)
+              col[l] = rows[(b + l) * w + start + i];
+            s[i] = _mm512_load_si512((const void *)col);
+          }
+          permute8_fast(s, m, rc, half_full, n_partial);
+        }
+        store8(out + b * 4, 4, s, 4);
+      }
+    }
+#endif
+    for (; b < hi; ++b) {
       const u64 *in = rows + b * w;
       u64 s[12] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
       for (long start = 0; start < w; start += 8) {
@@ -308,7 +607,16 @@ void poseidon_trace(const u64 *inputs, const u64 *swap, long B,
   for (int r = 0; r < 12; ++r)
     for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
   long stored_w = (half_full - 1) * 12 + n_partial + half_full * 12;
-  for (long b = 0; b < B; ++b) {
+  long b = 0;
+#ifdef QZK_AVX512
+  if (have_avx512()) {  // naive rounds only — no fast-table dependency
+    for (; b + 8 <= B; b += 8)
+      trace8_core(inputs + b * 12, swap + b, m, rc, half_full, n_partial,
+                  deltas + b * 4, stored + b * stored_w, outputs + b * 12,
+                  stored_w);
+  }
+#endif
+  for (; b < B; ++b) {
     const u64 *in = inputs + b * 12;
     u64 *dl = deltas + b * 4;
     u64 *st = stored + b * stored_w;
@@ -499,8 +807,52 @@ long run_witness_plan(
       }
       break;
     }
-    case 4: // poseidon: full trace per item
-      for (long i = 0; i < count; ++i) {
+    case 4: { // poseidon: full trace per item
+      long i0 = 0;
+#ifdef QZK_AVX512
+      if (have_avx512()) {
+        long stored_w = (half_full - 1) * 12 + n_partial + half_full * 12;
+        u64 in8[8 * 12], swp8[8], dl8[8 * 4], out8[8 * 12];
+        std::vector<u64> st8(8 * stored_w);
+        for (; i0 + 8 <= count; i0 += 8) {
+          bool ok = true;
+          for (int l = 0; l < 8 && ok; ++l) {
+            long k = start + i0 + l;
+            for (int j = 0; j < 12; ++j)
+              if (wread(w, pos_in[k * 12 + j], &in8[l * 12 + j])) {
+                ok = false;
+                break;
+              }
+            if (ok && wread(w, pos_swap[k], &swp8[l])) ok = false;
+          }
+          if (!ok) break; // scalar tail re-reads and reports the error
+          trace8_core(in8, swp8, m, rc, half_full, n_partial, dl8,
+                      st8.data(), out8, stored_w);
+          for (int l = 0; l < 8; ++l) {
+            long k = start + i0 + l;
+            const long *ids = pos_internal + k * n_internal;
+            long sp = 0;
+            for (int j = 0; j < 4; ++j, ++sp)
+              if (int rc_ = wwrite(w, ids[sp], dl8[l * 4 + j])) {
+                err_info[0] = ids[sp];
+                return rc_;
+              }
+            for (long j = 0; j < stored_w; ++j, ++sp)
+              if (int rc_ = wwrite(w, ids[sp], st8[l * stored_w + j])) {
+                err_info[0] = ids[sp];
+                return rc_;
+              }
+            for (int j = 0; j < 12; ++j)
+              if (int rc_ = wwrite(w, pos_out[k * 12 + j],
+                                   out8[l * 12 + j])) {
+                err_info[0] = pos_out[k * 12 + j];
+                return rc_;
+              }
+          }
+        }
+      }
+#endif
+      for (long i = i0; i < count; ++i) {
         long k = start + i;
         u64 in[12], swp;
         for (int j = 0; j < 12; ++j) {
@@ -559,6 +911,7 @@ long run_witness_plan(
         }
       }
       break;
+    }
     default:
       err_info[0] = kind;
       return 99;

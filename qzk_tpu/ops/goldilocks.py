@@ -73,30 +73,33 @@ def _native_binop(a, b, ew, sa, as_=None):
     p = ctypes.POINTER(ctypes.c_uint64)
     # strided views (e.g. the [..., 0] component slices of packed
     # (..., 2) extension arrays) are cheap to materialize relative to
-    # the ~16-dispatch numpy fallback they would otherwise take
-    if a.ndim and not a.flags.c_contiguous and a.size <= (1 << 16):
+    # the ~16-dispatch numpy fallback they would otherwise take — but
+    # only materialize once a branch has actually been selected, so a
+    # non-qualifying call pays no wasted copy (ADVICE r4)
+    use_a = a.ndim and (
+        a.flags.c_contiguous or a.size <= (1 << 16)
+    )
+    use_b = b.ndim and (
+        b.flags.c_contiguous or b.size <= (1 << 16)
+    )
+    if a.shape == b.shape and use_a and use_b:
         a = np.ascontiguousarray(a)
-    if b.ndim and not b.flags.c_contiguous and b.size <= (1 << 16):
         b = np.ascontiguousarray(b)
-    if (
-        a.shape == b.shape
-        and a.ndim
-        and a.flags.c_contiguous
-        and b.flags.c_contiguous
-    ):
         out = np.empty_like(a)
         getattr(lib, ew)(
             a.ctypes.data_as(p), b.ctypes.data_as(p),
             out.ctypes.data_as(p), a.size,
         )
         return out
-    if a.ndim == 0 and b.ndim and b.flags.c_contiguous and sa:
+    if a.ndim == 0 and use_b and sa:
+        b = np.ascontiguousarray(b)
         out = np.empty_like(b)
         getattr(lib, sa)(
             int(a), b.ctypes.data_as(p), out.ctypes.data_as(p), b.size
         )
         return out
-    if b.ndim == 0 and a.ndim and a.flags.c_contiguous and as_:
+    if b.ndim == 0 and use_a and as_:
+        a = np.ascontiguousarray(a)
         out = np.empty_like(a)
         getattr(lib, as_)(
             a.ctypes.data_as(p), int(b), out.ctypes.data_as(p), a.size

@@ -125,17 +125,45 @@ def _ntt_axis0_pallas(
 
     n, M = x_lo.shape
     assert n == 1 << log_n
-    C = min(BLOCK_COLS, M)
+    # Block width sized to the ~16 MB scoped-VMEM budget: the kernel
+    # holds ~6 (n, C) u32 block arrays (x/t/out lo+hi pairs) plus
+    # per-stage temporaries of the same footprint.
+    C = BLOCK_COLS
+    while C > 128 and n * C * 4 * 12 > 14 * 2**20:
+        C //= 2
+    C = min(C, M)
     assert M % C == 0
     grid = (M // C,)
-    col_spec = pl.BlockSpec((n, C), lambda j: (0, j))
-    tw_spec = pl.BlockSpec(tw_lo.shape, lambda j: (0, 0))
+    # index maps must stay int32: a literal 0 traces as i64 under
+    # jax_enable_x64 and this deployment's Mosaic rejects i64 block
+    # indices ("failed to legalize operation 'func.return'" on the
+    # remote compile helper); j*0 keeps the grid index dtype
+    col_spec = pl.BlockSpec((n, C), lambda j: (j * 0, j))
+    tw_spec = pl.BlockSpec(tw_lo.shape, lambda j: (j * 0, j * 0))
+    if not mul_tw:
+        # don't stream the (unused) four-step twiddle matrix through
+        # VMEM on the second pass — a (1, 1) dummy block instead
+        t_lo = jnp.zeros((1, 1), jnp.uint32)
+        t_hi = t_lo
+        t_spec = pl.BlockSpec((1, 1), lambda j: (j * 0, j * 0))
+    else:
+        t_spec = col_spec
     kernel = functools.partial(_ntt_axis0_kernel, log_n, mul_tw)
+    kwargs = {}
+    if not interpret:
+        # the unrolled stage chain's live temporaries overflow the
+        # default 16 MB scoped-VMEM budget at 2048-row blocks; the
+        # v5e has 128 MB of VMEM — raise the cap for this kernel
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        )
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            col_spec, col_spec, tw_spec, tw_spec, col_spec, col_spec
+            col_spec, col_spec, tw_spec, tw_spec, t_spec, t_spec
         ],
         out_specs=[col_spec, col_spec],
         out_shape=[
@@ -143,6 +171,7 @@ def _ntt_axis0_pallas(
             jax.ShapeDtypeStruct((n, M), jnp.uint32),
         ],
         interpret=interpret,
+        **kwargs,
     )(x_lo, x_hi, tw_lo, tw_hi, t_lo, t_hi)
     return out_lo, out_hi
 

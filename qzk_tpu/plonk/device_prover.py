@@ -264,7 +264,7 @@ class DeviceProverContext:
             id_enc = gj.mul(g_pows[:, None], k_is[None, :])
             return pre_lde, leaves, levels, id_enc, nt
 
-        pre_lde, pre_leaves, pre_levels, id_enc, ntt_tabs = _derive(
+        _derive_args = (
             self.pre_coeffs,
             self.g_pows_dev,
             self.k_is_dev,
@@ -272,6 +272,17 @@ class DeviceProverContext:
             gj.from_u64(ptab_m["twinv"][0]),
             gj.from_u64(ptab_n["twinv"][0]),
             gj.from_u64(ntt_mod.powers(gl.GENERATOR, N)),
+        )
+        try:  # AOT-persisted like the fused pipeline (aot_cache.py)
+            from . import aot_cache
+
+            _derive_c, _ = aot_cache.load_or_compile(
+                "derive", common, _derive, _derive_args
+            )
+        except Exception:
+            _derive_c = _derive
+        pre_lde, pre_leaves, pre_levels, id_enc, ntt_tabs = _derive_c(
+            *_derive_args
         )
         self.pre_lde = pre_lde
         self.id_enc = id_enc
@@ -714,8 +725,26 @@ class DeviceProverContext:
             )
 
         fn = jax.jit(pipeline)
-        self._full_fns[salted] = fn
-        return fn
+
+        # AOT persistence (aot_cache.py): the first call per process
+        # either unpickles a previously compiled executable (skipping
+        # the minutes-long trace+lower+cache-key of this very large
+        # graph) or compiles once and persists for the next process.
+        state = {}
+
+        def run(*args):
+            compiled = state.get("c")
+            if compiled is None:
+                from . import aot_cache
+
+                compiled, _ = aot_cache.load_or_compile(
+                    f"fused{int(salted)}", common, fn, args
+                )
+                state["c"] = compiled
+            return compiled(*args)
+
+        self._full_fns[salted] = run
+        return run
 
     def grind_pow(self, challenger: Challenger, bits: int) -> int:
         """Device PoW grind: batched candidate permutations, first hit
@@ -762,6 +791,44 @@ class DeviceProverContext:
         return found
 
 
+# LRU over live device contexts: each context pins its circuit's
+# preprocessed LDE + derived arrays in HBM (tens to hundreds of MB per
+# shape), and a 16 GB v5e cannot hold every aggregation-grid shape at
+# once (round 4 had to fork fresh processes for the (6,2)/(7,2)
+# points).  Keeping at most QZK_CTX_LIMIT shapes resident converts
+# that into eviction + cheap rebuild (executables reload via the AOT
+# cache).  Entries: (ctxs_dict, key, common) in least-recent-first
+# order; ctxs_dict is the owning prover_only's _device_ctxs.
+_CTX_LRU: list = []
+import threading as _threading
+
+_CTX_LOCK = _threading.Lock()
+
+
+def _ctx_limit() -> int:
+    import os
+
+    try:
+        return max(1, int(os.environ.get("QZK_CTX_LIMIT", "3")))
+    except ValueError:
+        return 3
+
+
+def _lru_touch(ctxs, key, common) -> None:
+    entry = (id(ctxs), key)
+    for i, (eid, ekey, _, _) in enumerate(_CTX_LRU):
+        if (eid, ekey) == entry:
+            _CTX_LRU.append(_CTX_LRU.pop(i))
+            return
+    _CTX_LRU.append((id(ctxs), key, ctxs, common))
+
+
+def _evict_down_to(n_keep: int) -> None:
+    while len(_CTX_LRU) > n_keep:
+        _, key, ctxs, common = _CTX_LRU.pop(0)
+        ctxs.pop(key, None)  # drop the refs; JAX frees the HBM
+
+
 def get_context(common, prover_only) -> DeviceProverContext:
     """Per-circuit (and per-device) compiled pipeline cache.
 
@@ -769,7 +836,8 @@ def get_context(common, prover_only) -> DeviceProverContext:
     concurrent chunk proves (aggregator fan-out — the rayon
     `par_chunks` analog, reference tree.rs:79-103) each get contexts
     whose arrays live on their own device; single-device callers hit
-    the same single cached context as before."""
+    the same single cached context as before.  A process-wide LRU
+    bounds the number of resident shapes (see _CTX_LRU above)."""
     dev = jax.config.jax_default_device
     key = None if dev is None else getattr(dev, "id", dev)
     ctxs = getattr(prover_only, "_device_ctxs", None)
@@ -777,7 +845,18 @@ def get_context(common, prover_only) -> DeviceProverContext:
         ctxs = prover_only._device_ctxs = {}
     ctx = ctxs.get(key)
     if ctx is None:
-        ctx = ctxs[key] = DeviceProverContext(common, prover_only)
+        with _CTX_LOCK:
+            _evict_down_to(_ctx_limit() - 1)
+        try:
+            ctx = DeviceProverContext(common, prover_only)
+        except jax.errors.JaxRuntimeError:
+            # device allocation failure: free every other shape, retry
+            with _CTX_LOCK:
+                _evict_down_to(0)
+            ctx = DeviceProverContext(common, prover_only)
+        ctxs[key] = ctx
+    with _CTX_LOCK:
+        _lru_touch(ctxs, key, common)
     return ctx
 
 
@@ -858,26 +937,57 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
         gj.from_u64(wire_matrix), jnp.asarray(pi_hash), salts, ctx.C
     )
 
-    def dev_tree(pair):
+    # ONE synchronized download for every small output (flags, caps,
+    # openings, final poly, challenger state, PoW): each additional
+    # device_get/bool() costs a full ~22 ms round trip through the
+    # axon tunnel (measured round 5 — the per-sync floor, not
+    # bandwidth, dominated the warm prove).
+    small = jax.device_get(
+        dict(
+            tail_ok=out["tail_ok"],
+            final_ok=out["final_ok"],
+            opened=out["opened"],
+            final_poly=out["final_poly"],
+            challenger=out["challenger"],
+            pow=out["pow"],
+            caps=dict(
+                wires=gj.to_u64(out["wires"][1][-1]),
+                zs=gj.to_u64(out["zs"][1][-1]),
+                quotient=gj.to_u64(out["quotient"][1][-1]),
+                layers=[
+                    gj.to_u64(levels[-1])
+                    for _, levels, _ in out["layers"]
+                ],
+            ),
+        )
+    )
+
+    def dev_tree(pair, cap):
         leaves, levels = pair
         return DeviceTree(
-            leaves=leaves, levels=levels, cap=gj.to_u64(levels[-1])
+            leaves=leaves,
+            levels=levels,
+            cap=np.asarray(cap, dtype=np.uint64),
         )
 
-    if not bool(out["tail_ok"]):
+    if not bool(small["tail_ok"]):
         raise ValueError(
             "constraints unsatisfied: quotient degree overflow "
             "(witness does not satisfy the circuit)"
         )
-    assert bool(out["final_ok"]), "FRI final poly degree too high"
-    wires_tree = dev_tree(out["wires"])
-    zs_tree = dev_tree(out["zs"])
-    quotient_tree = dev_tree(out["quotient"])
+    assert bool(small["final_ok"]), "FRI final poly degree too high"
+    caps = small["caps"]
+    wires_tree = dev_tree(out["wires"], caps["wires"])
+    zs_tree = dev_tree(out["zs"], caps["zs"])
+    quotient_tree = dev_tree(out["quotient"], caps["quotient"])
     layer_trees = [
-        dev_tree((leaves, levels)) for leaves, levels, _ in out["layers"]
+        dev_tree((leaves, levels), cap)
+        for (leaves, levels, _), cap in zip(
+            out["layers"], caps["layers"]
+        )
     ]
     layer_values = [vals for _, _, vals in out["layers"]]
-    opened = jax.device_get(out["opened"])
+    opened = small["opened"]
     openings = Openings(
         preprocessed=np.asarray(opened[0], dtype=np.uint64),
         wires=np.asarray(opened[1], dtype=np.uint64),
@@ -885,19 +995,17 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
         quotient=np.asarray(opened[3], dtype=np.uint64),
         zs_partial_right=np.asarray(opened[4], dtype=np.uint64),
     )
-    final_poly = np.asarray(
-        jax.device_get(out["final_poly"]), dtype=np.uint64
-    )
+    final_poly = np.asarray(small["final_poly"], dtype=np.uint64)
     timer.mark("fused pipeline (device, 1 dispatch)")
 
     # reconstruct the host challenger at the post-final-poly point
-    state, inb, outb = jax.device_get(out["challenger"])
+    state, inb, outb = small["challenger"]
     challenger = Challenger()
     challenger.state = np.array(state, dtype=np.uint64)  # writable copy
     challenger.input_buf = [np.uint64(x) for x in np.asarray(inb)]
     challenger.output_buf = [np.uint64(x) for x in np.asarray(outb)]
 
-    pow_hit, pow_cand = jax.device_get(out["pow"])
+    pow_hit, pow_cand = small["pow"]
     bits = fri_cfg.proof_of_work_bits
     if bool(pow_hit):
         pow_witness = int(pow_cand)
