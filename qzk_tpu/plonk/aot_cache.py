@@ -124,8 +124,19 @@ def key_for(tag: str, common, args) -> str:
 
 
 def enabled() -> bool:
-    """Default on; QZK_AOT=0 disables."""
-    return os.environ.get("QZK_AOT", "1") != "0"
+    """Default on for accelerator backends; QZK_AOT=0/1 forces.
+
+    The CPU backend is excluded by default: XLA:CPU AOT results embed
+    everything uncompressed (a single fused-pipeline entry measured
+    1.16 GB vs 90 MB for the TPU form), compiles are local anyway, and
+    the test suite would fill the cache dir with gigabytes."""
+    flag = os.environ.get("QZK_AOT")
+    if flag in ("0", "1"):
+        return flag == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def load(key: str):

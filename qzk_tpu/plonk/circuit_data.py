@@ -221,7 +221,11 @@ def build_circuit_data(builder) -> CircuitData:
         for c in range(config.num_constants):
             constants[c, i] = np.uint64(inst.constants[c] % gl.P)
 
-    # 4. sigma permutation over routed slots
+    # 4. sigma permutation over routed slots — vectorized (the python
+    # dict/union-find walk over ~500k slots was ~1 s of the criterion-
+    # scope build).  Semantics identical to the loop form: slots of a
+    # copy class, in insertion order, form one cycle
+    # sigma[slots[a]] = enc[slots[(a+1) % len]].
     num_routed = config.num_routed_wires
     k_is = unique_coset_shifts(degree, num_routed)
     g = ntt_mod.root_of_unity(degree_bits)
@@ -229,18 +233,42 @@ def build_circuit_data(builder) -> CircuitData:
     # identity encoding table enc[i, j] = k_j * g^i
     enc = gl.mul(g_pows[:, None], k_is[None, :])  # (N, num_routed)
     sigma = enc.copy()  # start as identity
-    # group routed slots by union-find class
-    classes: dict[int, list[tuple[int, int]]] = {}
-    for (r, c), t in builder.slot_target.items():
-        if c < num_routed:
-            classes.setdefault(builder._find(t), []).append((r, c))
-    for slots in classes.values():
-        if len(slots) < 2:
-            continue
-        for a in range(len(slots)):
-            r1, c1 = slots[a]
-            r2, c2 = slots[(a + 1) % len(slots)]
-            sigma[r1, c1] = enc[r2, c2]
+
+    # all union-find roots at once (pointer jumping)
+    parent = np.asarray(builder._parent, dtype=np.int64)
+    roots = parent.copy()
+    while True:
+        nxt_r = roots[roots]
+        if np.array_equal(nxt_r, roots):
+            break
+        roots = nxt_r
+
+    n_slots = len(builder.slot_target)
+    ins_r = np.fromiter(
+        (k[0] for k in builder.slot_target), dtype=np.int64, count=n_slots
+    )
+    ins_c = np.fromiter(
+        (k[1] for k in builder.slot_target), dtype=np.int64, count=n_slots
+    )
+    ins_t = np.fromiter(
+        builder.slot_target.values(), dtype=np.int64, count=n_slots
+    )
+
+    routed = ins_c < num_routed
+    rr, rc = ins_r[routed], ins_c[routed]
+    rroots = roots[ins_t[routed]]
+    order = np.argsort(rroots, kind="stable")  # stable: insertion order
+    grp = rroots[order]
+    m = len(order)
+    if m:
+        start = np.r_[True, grp[1:] != grp[:-1]]
+        last = np.r_[grp[1:] != grp[:-1], True]
+        group_id = np.cumsum(start) - 1
+        firsts = np.flatnonzero(start)
+        nxt = np.arange(1, m + 1)
+        nxt[last] = firsts[group_id[last]]
+        src, dst = order, order[nxt]
+        sigma[rr[src], rc[src]] = enc[rr[dst], rc[dst]]
     sigma_cols = np.ascontiguousarray(sigma.T)  # (num_routed, N)
 
     # 5. preprocessed commitment (one-time build cost; use the device
@@ -262,13 +290,12 @@ def build_circuit_data(builder) -> CircuitData:
         )
     )
 
-    # slot arrays for witness -> wire-matrix assembly
-    slot_items = sorted(builder.slot_target.items())
-    slot_rows = np.array([r for (r, _), _ in slot_items], dtype=np.int64)
-    slot_cols = np.array([c for (_, c), _ in slot_items], dtype=np.int64)
-    slot_targets = np.array(
-        [builder._find(t) for _, t in slot_items], dtype=np.int64
-    )
+    # slot arrays for witness -> wire-matrix assembly ((row, col) sorted
+    # like the original sorted(items) form)
+    order2 = np.lexsort((ins_c, ins_r))
+    slot_rows = ins_r[order2]
+    slot_cols = ins_c[order2]
+    slot_targets = roots[ins_t[order2]]
 
     plan = compile_generators(builder)
 

@@ -294,6 +294,40 @@ class DeviceProverContext:
             leaves=pre_leaves, levels=list(pre_levels), cap=cap
         )
 
+        # --- device-side wire-matrix assembly ---------------------------
+        # The host witness values array (~2 MB for the wormhole) uploads
+        # instead of the assembled (N, 135) wire matrix (~9 MB): the
+        # scatter indices are static per circuit and resident, and the
+        # tunnel moves bytes at ~45 MB/s, so this shaves ~150 ms off
+        # every warm prove.
+        W = cfg.num_wires
+        n_used = len(prover_only.rows)
+        flat = (
+            np.asarray(prover_only.slot_rows, dtype=np.int64) * W
+            + np.asarray(prover_only.slot_cols, dtype=np.int64)
+        )
+        self._wire_flat = jnp.asarray(flat.astype(np.int32))
+        self._wire_src = jnp.asarray(
+            np.asarray(prover_only.slot_targets, dtype=np.int32)
+        )
+        self._n_used = n_used
+
+        def _assemble(values_dev, flat_idx, src_idx, blind):
+            wm = (
+                jnp.zeros((N * W,), jnp.uint64)
+                .at[flat_idx]
+                .set(values_dev[src_idx])
+                .reshape(N, W)
+            )
+            if blind is not None:
+                wm = wm.at[n_used:].set(blind)
+            return wm
+
+        self._assemble_plain = jax.jit(
+            lambda v, f, s: _assemble(v, f, s, None)
+        )
+        self._assemble_blind = jax.jit(_assemble)
+
         self.C = dict(
             pre_lde=self.pre_lde,
             pre_coeffs=self.pre_coeffs,
@@ -915,6 +949,20 @@ def _assemble_query_rounds(ctx, arities, oracles, layer_values,
     return rounds
 
 
+def _wires_device(ctx, wire_matrix):
+    """Device (N, 135) wire matrix from either a host-assembled array
+    or the lazy `(values, blind_block)` form (device-side scatter)."""
+    if isinstance(wire_matrix, tuple):
+        values, blind = wire_matrix
+        vals = jnp.asarray(np.asarray(values, dtype=np.uint64))
+        if blind is not None and ctx._n_used < ctx.common.degree:
+            return ctx._assemble_blind(
+                vals, ctx._wire_flat, ctx._wire_src, blind
+            )
+        return ctx._assemble_plain(vals, ctx._wire_flat, ctx._wire_src)
+    return gj.from_u64(wire_matrix)
+
+
 def _fused_prove(common, prover_only, wire_matrix, public_inputs,
                  pi_hash, fresh_salt, timer) -> ProofWithPublicInputs:
     """device_prove via the single fused executable (full_pipeline):
@@ -934,7 +982,8 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
         else (None, None, None)
     )
     out = ctx.full_pipeline(salted)(
-        gj.from_u64(wire_matrix), jnp.asarray(pi_hash), salts, ctx.C
+        _wires_device(ctx, wire_matrix), jnp.asarray(pi_hash), salts,
+        ctx.C,
     )
 
     # ONE synchronized download for every small output (flags, caps,
@@ -1125,7 +1174,7 @@ def device_prove(common, prover_only, wire_matrix, public_inputs,
         return coeffs, lde, dev_tree(leaves, levels)
 
     # 2. commit wires ---------------------------------------------------------
-    wire_matrix_dev = gj.from_u64(wire_matrix)  # (N, 135)
+    wire_matrix_dev = _wires_device(ctx, wire_matrix)  # (N, 135)
     wires_coeffs, wires_lde, wires_tree = commit(wire_matrix_dev.T)
     timer.mark("wires LDE+commit (device)")
 

@@ -150,11 +150,6 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
     ] if prover_only.public_inputs else np.zeros(0, dtype=np.uint64)
     pi_hash = pos.hash_no_pad(public_inputs)
 
-    wire_matrix = np.zeros((N, cfg.num_wires), dtype=np.uint64)
-    wire_matrix[prover_only.slot_rows, prover_only.slot_cols] = values[
-        prover_only.slot_targets
-    ]
-
     if cfg.zero_knowledge:
         # deterministic blinding seed from the witness (the reference pins
         # `no_random` for reproducible proving — SURVEY.md §2b).  Blinding
@@ -177,13 +172,23 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
             _blind_key, sub = jax.random.split(_blind_key)
             return jax.random.bits(sub, shape, "uint64") >> np.uint64(1)
 
-        n_used = len(prover_only.rows)
-        # blind unconstrained padding rows
-        free = wire_matrix[n_used:]
-        if free.size:
-            wire_matrix[n_used:] = np.asarray(
-                _blind_bits(free.shape), dtype=np.uint64
-            )
+    n_used = len(prover_only.rows)
+    blind_block = None  # device array; blinds unconstrained padding rows
+    if cfg.zero_knowledge and n_used < N:
+        # FIRST key split, before any fresh_salt (split order is part
+        # of the deterministic blinding stream)
+        blind_block = _blind_bits((N - n_used, cfg.num_wires))
+
+    def build_wire_matrix() -> np.ndarray:
+        """Host-assembled (N, 135) wire matrix (host + sharded paths;
+        the single-device pipeline scatters on device instead)."""
+        wm = np.zeros((N, cfg.num_wires), dtype=np.uint64)
+        wm[prover_only.slot_rows, prover_only.slot_cols] = values[
+            prover_only.slot_targets
+        ]
+        if blind_block is not None:
+            wm[n_used:] = np.asarray(blind_block, dtype=np.uint64)
+        return wm
 
     def fresh_salt(n_leaves, *, device=False):
         """(n_leaves, 4) blinding salt; stays a device array when the
@@ -204,8 +209,8 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
 
         if mesh_preconditions_ok(common, mesh):
             return sharded_prove(
-                common, prover_only, wire_matrix, public_inputs, pi_hash,
-                fresh_salt, _t, mesh,
+                common, prover_only, build_wire_matrix(), public_inputs,
+                pi_hash, fresh_salt, _t, mesh,
             )
         import warnings
 
@@ -221,11 +226,12 @@ def prove(common, prover_only, pw) -> ProofWithPublicInputs:
         from .device_prover import device_prove
 
         return device_prove(
-            common, prover_only, wire_matrix, public_inputs, pi_hash,
-            fresh_salt, _t,
+            common, prover_only, (values, blind_block), public_inputs,
+            pi_hash, fresh_salt, _t,
         )
 
     # 2. commit wires -------------------------------------------------------
+    wire_matrix = build_wire_matrix()
     wires_values = np.ascontiguousarray(wire_matrix.T)  # (135, N)
     if USE_DEVICE and N >= 1 << 10:
         wires_coeffs, wires_lde = _lde_rows_device(wires_values, rate_bits)
