@@ -47,13 +47,17 @@ def _build_and_load():
     lib = ctypes.CDLL(so_path)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     u64 = ctypes.c_uint64
-    lib.gl_mul.argtypes = [u64p, u64p, u64p, ctypes.c_long]
-    lib.gl_add.argtypes = [u64p, u64p, u64p, ctypes.c_long]
-    lib.gl_sub.argtypes = [u64p, u64p, u64p, ctypes.c_long]
-    lib.gl_mul_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
-    lib.gl_add_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
-    lib.gl_sub_as.argtypes = [u64p, u64, u64p, ctypes.c_long]
-    lib.gl_sub_sa.argtypes = [u64, u64p, u64p, ctypes.c_long]
+    # void_p (not POINTER(u64)) so callers can pass ndarray.ctypes.data
+    # ints directly — data_as(POINTER) costs ~3.5 µs per argument, which
+    # dominated the host verifier's small-array dispatch (round 5)
+    vp = ctypes.c_void_p
+    lib.gl_mul.argtypes = [vp, vp, vp, ctypes.c_long]
+    lib.gl_add.argtypes = [vp, vp, vp, ctypes.c_long]
+    lib.gl_sub.argtypes = [vp, vp, vp, ctypes.c_long]
+    lib.gl_mul_sa.argtypes = [u64, vp, vp, ctypes.c_long]
+    lib.gl_add_sa.argtypes = [u64, vp, vp, ctypes.c_long]
+    lib.gl_sub_as.argtypes = [vp, u64, vp, ctypes.c_long]
+    lib.gl_sub_sa.argtypes = [u64, vp, vp, ctypes.c_long]
     lib.poseidon_permute.argtypes = [
         u64p, ctypes.c_long, u64p, u64p, ctypes.c_int, ctypes.c_int,
     ]

@@ -561,7 +561,40 @@ void poseidon_merkle_walk(u64 *digests, const long long *idx, long Q,
   for (int r = 0; r < 12; ++r)
     for (int c = 0; c < 12; ++c) m[r][c] = mds_m[r * 12 + c];
   auto run = [&](long lo, long hi) {
-    for (long q = lo; q < hi; ++q) {
+    long q = lo;
+#ifdef QZK_AVX512
+    // 8 queries per vector: the per-level two_to_one compressions of
+    // different queries are independent (the level loop is the only
+    // sequential chain), so walk all 8 paths in lockstep.  This is
+    // the host verifier's dominant kernel (round-5 profile).
+    if (fast8_ok(m, rc, half_full, n_partial)) {
+      v8ops::v8 s[12];
+      alignas(64) u64 buf[12][8];
+      alignas(64) u64 col[8];
+      for (; q + 8 <= hi; q += 8) {
+        for (long d = 0; d < depth; ++d) {
+          for (int l = 0; l < 8; ++l) {
+            const u64 *h = digests + (q + l) * 4;
+            const u64 *sib = paths + ((q + l) * depth + d) * 4;
+            bool odd = (idx[q + l] >> d) & 1;
+            const u64 *left = odd ? sib : h;
+            const u64 *right = odd ? h : sib;
+            for (int i = 0; i < 4; ++i) buf[i][l] = left[i];
+            for (int i = 0; i < 4; ++i) buf[4 + i][l] = right[i];
+          }
+          for (int i = 0; i < 8; ++i)
+            s[i] = _mm512_load_si512((const void *)buf[i]);
+          for (int i = 8; i < 12; ++i) s[i] = _mm512_setzero_si512();
+          permute8_fast(s, m, rc, half_full, n_partial);
+          for (int i = 0; i < 4; ++i) {
+            _mm512_store_si512((void *)col, s[i]);
+            for (int l = 0; l < 8; ++l) digests[(q + l) * 4 + i] = col[l];
+          }
+        }
+      }
+    }
+#endif
+    for (; q < hi; ++q) {
       u64 *h = digests + q * 4;
       long long j = idx[q];
       for (long d = 0; d < depth; ++d) {
@@ -580,14 +613,17 @@ void poseidon_merkle_walk(u64 *digests, const long long *idx, long Q,
       }
     }
   };
+  // thread only at widths where the spawn cost amortizes; the
+  // verifier's Q=28 stays single-threaded on the 8-way path
   long nt = std::thread::hardware_concurrency();
-  if (nt > Q / 8) nt = Q / 8;
+  if (nt > Q / 64) nt = Q / 64;
   if (nt <= 1) {
     run(0, Q);
     return;
   }
   std::vector<std::thread> threads;
   long chunk = (Q + nt - 1) / nt;
+  chunk = (chunk + 7) & ~7L;  // 8-aligned so only the last chunk tails
   for (long t = 0; t < nt; ++t) {
     long lo = t * chunk, hi = lo + chunk < Q ? lo + chunk : Q;
     if (lo < hi) threads.emplace_back(run, lo, hi);

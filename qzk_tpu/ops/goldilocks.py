@@ -64,13 +64,15 @@ def _nlib():
 
 
 def _native_binop(a, b, ew, sa, as_=None):
-    """Try the native elementwise/scalar kernels; None if not applicable."""
+    """Try the native elementwise/scalar kernels; None if not applicable.
+
+    Pointer arguments pass as raw ndarray.ctypes.data ints (the gl_*
+    argtypes are c_void_p): data_as(POINTER(c_uint64)) costs ~3.5 µs per
+    argument, which dominated the host verifier's small-array profile.
+    """
     lib = _nlib()
     if lib is None:
         return None
-    import ctypes
-
-    p = ctypes.POINTER(ctypes.c_uint64)
     # strided views (e.g. the [..., 0] component slices of packed
     # (..., 2) extension arrays) are cheap to materialize relative to
     # the ~16-dispatch numpy fallback they would otherwise take — but
@@ -87,23 +89,18 @@ def _native_binop(a, b, ew, sa, as_=None):
         b = np.ascontiguousarray(b)
         out = np.empty_like(a)
         getattr(lib, ew)(
-            a.ctypes.data_as(p), b.ctypes.data_as(p),
-            out.ctypes.data_as(p), a.size,
+            a.ctypes.data, b.ctypes.data, out.ctypes.data, a.size
         )
         return out
     if a.ndim == 0 and use_b and sa:
         b = np.ascontiguousarray(b)
         out = np.empty_like(b)
-        getattr(lib, sa)(
-            int(a), b.ctypes.data_as(p), out.ctypes.data_as(p), b.size
-        )
+        getattr(lib, sa)(int(a), b.ctypes.data, out.ctypes.data, b.size)
         return out
     if b.ndim == 0 and use_a and as_:
         a = np.ascontiguousarray(a)
         out = np.empty_like(a)
-        getattr(lib, as_)(
-            a.ctypes.data_as(p), int(b), out.ctypes.data_as(p), a.size
-        )
+        getattr(lib, as_)(a.ctypes.data, int(b), out.ctypes.data, a.size)
         return out
     if a.ndim and b.ndim and a.shape != b.shape:
         # small broadcasts: materializing both sides and using the
@@ -118,8 +115,7 @@ def _native_binop(a, b, ew, sa, as_=None):
             bb = np.ascontiguousarray(np.broadcast_to(b, shape))
             out = np.empty(shape, dtype=np.uint64)
             getattr(lib, ew)(
-                ab.ctypes.data_as(p), bb.ctypes.data_as(p),
-                out.ctypes.data_as(p), out.size,
+                ab.ctypes.data, bb.ctypes.data, out.ctypes.data, out.size
             )
             return out
     return None
@@ -399,8 +395,25 @@ def ext_inverse(a) -> np.ndarray:
 
 
 def ext_powers_vec(z: np.ndarray, n: int) -> np.ndarray:
-    """[z^0 .. z^(n-1)] as (n, 2) via log2(n) vectorized doubling steps
-    (z a (2,) extension scalar)."""
+    """[z^0 .. z^(n-1)] as (n, 2).
+
+    Python-int sequential products: at the sizes the verifier uses
+    (n <= a few hundred) a 4-mult int loop at ~1 µs/step beats the
+    log-doubling numpy ladder, whose ~60 small-array dispatches cost
+    ~2 ms of overhead (round-5 verifier profile)."""
+    if n <= 4096:
+        z0, z1 = int(z.reshape(2)[0]), int(z.reshape(2)[1])
+        a0, a1 = 1, 0
+        out = np.empty((n, 2), dtype=np.uint64)
+        o0, o1 = out[:, 0], out[:, 1]
+        for i in range(n):
+            o0[i] = a0
+            o1[i] = a1
+            a0, a1 = (
+                (a0 * z0 + 7 * a1 * z1) % _PI,
+                (a0 * z1 + a1 * z0) % _PI,
+            )
+        return out
     pows = np.array([[1, 0]], dtype=np.uint64)
     z_len = z.reshape(1, 2)
     while pows.shape[0] < n:

@@ -391,12 +391,18 @@ def fri_verify(
 
 
 def _stack_paths(path_lists: list) -> np.ndarray:
-    """list (len Q) of sibling lists -> (Q, depth, 4)."""
+    """list (len Q) of sibling lists -> (Q, depth, 4).
+
+    One concatenate over the flattened sibling digests instead of Q+1
+    np.stack calls (~2 ms of dispatch per verify at Q=28)."""
     Q = len(path_lists)
     depth = len(path_lists[0])
     if depth == 0:
         return np.zeros((Q, 0, 4), dtype=np.uint64)
-    return np.stack([np.stack(p) for p in path_lists])
+    flat = np.concatenate(
+        [sib for path in path_lists for sib in path]
+    )
+    return flat.reshape(Q, depth, 4)
 
 
 def _batch_verify_merkle(
