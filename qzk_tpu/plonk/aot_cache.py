@@ -43,7 +43,7 @@ _CODE_HASH = None
 # deliberately NOT hashed: most edits there touch host-side
 # post-processing, which must not orphan multi-minute compiled
 # executables.
-AOT_SCHEMA_VERSION = 1
+AOT_SCHEMA_VERSION = 2  # r5: in-executable query-index derivation+gathers
 
 
 def _code_hash() -> str:

@@ -306,25 +306,29 @@ class DeviceProverContext:
             np.asarray(prover_only.slot_rows, dtype=np.int64) * W
             + np.asarray(prover_only.slot_cols, dtype=np.int64)
         )
-        self._wire_flat = jnp.asarray(flat.astype(np.int32))
-        self._wire_src = jnp.asarray(
-            np.asarray(prover_only.slot_targets, dtype=np.int32)
-        )
         self._n_used = n_used
+        # assembly as a GATHER, not a scatter: wm.flat[i] =
+        # values_ext[gather_idx[i]] with unset slots pointing at an
+        # appended zero.  The scatter formulation cost ~50 ms of the
+        # warm prove on the chip (round-5 device profile, jit__lambda);
+        # the equivalent gather is ~memory-bandwidth.
+        n_vals = int(prover_only.plan.num_targets)
+        gather = np.full(N * W, n_vals, dtype=np.int32)  # default: zero slot
+        gather[flat] = np.asarray(prover_only.slot_targets, dtype=np.int32)
+        self._wire_gather = jnp.asarray(gather)
+        self._n_vals = n_vals
 
-        def _assemble(values_dev, flat_idx, src_idx, blind):
-            wm = (
-                jnp.zeros((N * W,), jnp.uint64)
-                .at[flat_idx]
-                .set(values_dev[src_idx])
-                .reshape(N, W)
+        def _assemble(values_dev, gather_idx, blind):
+            values_ext = jnp.concatenate(
+                [values_dev, jnp.zeros((1,), jnp.uint64)]
             )
+            wm = values_ext[gather_idx].reshape(N, W)
             if blind is not None:
                 wm = wm.at[n_used:].set(blind)
             return wm
 
         self._assemble_plain = jax.jit(
-            lambda v, f, s: _assemble(v, f, s, None)
+            lambda v, g: _assemble(v, g, None)
         )
         self._assemble_blind = jax.jit(_assemble)
 
@@ -341,6 +345,9 @@ class DeviceProverContext:
             # constant-geometry NTT tables (ntt_mod.*_pease): as jit
             # ARGUMENTS so they never bake into executables as literals
             ntt=ntt_tabs,
+            # preprocessed-tree digest levels for the fused in-executable
+            # query gathers (same no-literal-capture rule as above)
+            pre_levels=tuple(pre_levels),
         )
 
         # --- compiled stages ---------------------------------------------
@@ -745,6 +752,56 @@ class DeviceProverContext:
             ok = (pow_out[:, 7] >> jnp.uint64(64 - pow_bits)) == 0
             pow_hit = jnp.any(ok)
             pow_cand = cands[jnp.argmax(ok)]
+
+            # query-index derivation + ALL query gathers, in-executable:
+            # the host previously reconstructed the challenger, derived
+            # the indices, and launched a second gather+download round
+            # trip (~40 ms of tunnel floor per prove).  A forked
+            # challenger observes the PoW candidate exactly as the host
+            # transcript does; on the rare PoW-batch miss (p ≈ 2% at
+            # 2^18 candidates / 16 bits) these gathers are garbage and
+            # the host fallback path re-derives and re-gathers.
+            nq = fri_cfg.num_query_rounds
+            mask = jnp.uint64((1 << common.lde_bits) - 1)
+            ch2 = DeviceChallenger()
+            ch2.state = ch.state
+            ch2.input_buf = list(ch.input_buf)
+            ch2.output_buf = list(ch.output_buf)
+            ch2.observe_element(pow_cand)
+            ch2.get_challenge()  # the PoW self-check draw
+            idx = jnp.stack(
+                [ch2.get_challenge() & mask for _ in range(nq)]
+            ).astype(jnp.int32)
+
+            def gather_tree(leaves, levels, jdx):
+                rows = leaves[jdx]
+                sibs = [
+                    levels[lv][(jdx >> lv) ^ 1]
+                    for lv in range(len(levels) - 1)  # exclude the cap
+                ]
+                if not sibs:
+                    return rows, jnp.zeros((nq, 0, 4), jnp.uint64)
+                return rows, jnp.stack(sibs, axis=1)
+
+            qr_oracles = (
+                gather_tree(cst["pre_lde"].T, cst["pre_levels"], idx),
+                gather_tree(w_leaves, w_levels, idx),
+                gather_tree(z_leaves, z_levels, idx),
+                gather_tree(q_leaves, q_levels, idx),
+            )
+            qr_steps = []
+            j = idx
+            for (l_leaves, l_levels, l_values), ab in zip(layers, arities):
+                A = 1 << ab
+                M = l_values.shape[0]
+                jg = j % (M // A)
+                grouped = jnp.moveaxis(
+                    l_values.reshape(A, M // A, 2), 0, 1
+                )[jg]
+                _, l_paths = gather_tree(l_leaves, l_levels, jg)
+                qr_steps.append((grouped, l_paths))
+                j = jg
+
             return dict(
                 wires=(w_leaves, w_levels),
                 zs=(z_leaves, z_levels),
@@ -756,6 +813,9 @@ class DeviceProverContext:
                 layers=layers,
                 challenger=ch.export(),
                 pow=(pow_hit, pow_cand),
+                qidx=idx,
+                qr_oracles=qr_oracles,
+                qr_steps=tuple(qr_steps),
             )
 
         fn = jax.jit(pipeline)
@@ -915,22 +975,29 @@ def _assemble_query_rounds(ctx, arities, oracles, layer_values,
         )
         j = jg
     oracle_data, step_data = jax.device_get((pending, step_pending))
+    return _rounds_from_data(oracle_data, step_data, Q)
+
+
+def _rounds_from_data(oracle_data, step_data, Q):
+    """Host proof structures from downloaded query-gather arrays:
+    oracle_data = [(rows (Q, w), paths (Q, depth, 4))] per oracle,
+    step_data = [(grouped (Q, A, 2), paths (Q, depth, 4))] per layer."""
     rounds = []
+    n_oracles = len(oracle_data)
     for q in range(Q):
         leaves_q = [
             np.asarray(oracle_data[o][0][q], dtype=np.uint64)
-            for o in range(len(oracles))
+            for o in range(n_oracles)
         ]
         paths_q = [
             [
                 np.asarray(oracle_data[o][1][q, d], dtype=np.uint64)
                 for d in range(oracle_data[o][1].shape[1])
             ]
-            for o in range(len(oracles))
+            for o in range(n_oracles)
         ]
         steps = []
-        for t in range(len(arities)):
-            leaf_rows, paths = step_data[t]
+        for leaf_rows, paths in step_data:
             steps.append(
                 FriQueryStep(
                     leaf=np.asarray(leaf_rows[q], dtype=np.uint64),
@@ -954,12 +1021,14 @@ def _wires_device(ctx, wire_matrix):
     or the lazy `(values, blind_block)` form (device-side scatter)."""
     if isinstance(wire_matrix, tuple):
         values, blind = wire_matrix
-        vals = jnp.asarray(np.asarray(values, dtype=np.uint64))
+        values = np.asarray(values, dtype=np.uint64)
+        assert len(values) == ctx._n_vals, (
+            f"witness value count {len(values)} != plan {ctx._n_vals}"
+        )
+        vals = jnp.asarray(values)
         if blind is not None and ctx._n_used < ctx.common.degree:
-            return ctx._assemble_blind(
-                vals, ctx._wire_flat, ctx._wire_src, blind
-            )
-        return ctx._assemble_plain(vals, ctx._wire_flat, ctx._wire_src)
+            return ctx._assemble_blind(vals, ctx._wire_gather, blind)
+        return ctx._assemble_plain(vals, ctx._wire_gather)
     return gj.from_u64(wire_matrix)
 
 
@@ -1008,6 +1077,11 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
                     for _, levels, _ in out["layers"]
                 ],
             ),
+            # in-executable query gathers (~160 KB): riding the one
+            # sync saves the separate gather round trip (~40 ms)
+            qidx=out["qidx"],
+            qr_oracles=out["qr_oracles"],
+            qr_steps=out["qr_steps"],
         )
     )
 
@@ -1061,18 +1135,31 @@ def _fused_prove(common, prover_only, wire_matrix, public_inputs,
         challenger.observe_element(pow_witness)
         check = int(challenger.get_challenge())
         assert check >> (64 - bits) == 0, "PoW self-check failed"
-    else:  # rare: no hit in the fused batch — host grind rescans
+        indices = challenger.get_indices(
+            fri_cfg.num_query_rounds, common.lde_bits
+        )
+        # the fused executable derived the same indices and gathered
+        # the query rounds in the same dispatch; cross-check the
+        # transcripts agree, then use the downloaded gathers directly
+        assert [int(v) for v in small["qidx"]] == indices, (
+            "device query indices != host transcript replay"
+        )
+        timer.mark("PoW finalize (host)")
+        rounds = _rounds_from_data(
+            small["qr_oracles"], small["qr_steps"], len(indices)
+        )
+    else:  # rare: no hit in the fused batch — host grind rescans,
+        # re-deriving indices and re-gathering through the trees
         pow_witness = ctx.grind_pow(challenger, bits)
-    timer.mark("PoW finalize (host)")
-
-    indices = challenger.get_indices(
-        fri_cfg.num_query_rounds, common.lde_bits
-    )
-    oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
-    rounds = _assemble_query_rounds(
-        ctx, arities, oracles, layer_values, layer_trees, indices
-    )
-    timer.mark("FRI queries (device gathers)")
+        timer.mark("PoW finalize (host)")
+        indices = challenger.get_indices(
+            fri_cfg.num_query_rounds, common.lde_bits
+        )
+        oracles = [ctx.pre_tree, wires_tree, zs_tree, quotient_tree]
+        rounds = _assemble_query_rounds(
+            ctx, arities, oracles, layer_values, layer_trees, indices
+        )
+    timer.mark("FRI queries (in-dispatch gathers)")
 
     proof = Proof(
         wires_cap=wires_tree.cap,
