@@ -54,3 +54,38 @@ def test_device_pipeline_bit_exact(monkeypatch):
     p_dev = data2.prove(pw2)
     data2.verify(p_dev)
     assert p_host.to_bytes() == p_dev.to_bytes()
+
+
+def test_gather_assembly_matches_scatter():
+    """The device wire assembly is a gather through a precomputed
+    inverse map (device_prover.DeviceProverContext; round 5 — the
+    scatter formulation cost ~50 ms/prove on the chip).  Check the map
+    construction against the host scatter on a real circuit, including
+    the appended-zero slot for unset wire positions."""
+    import numpy as np
+
+    from qzk_tpu.plonk.witness import run_generators
+
+    data, pw = _build()
+    po = data.prover_only
+    common = data.common
+    values, known = run_generators(po.plan, pw)
+    N, W = common.degree, common.config.num_wires
+
+    # host scatter (plonk/prover.py build_wire_matrix)
+    wm = np.zeros((N, W), dtype=np.uint64)
+    wm[po.slot_rows, po.slot_cols] = values[po.slot_targets]
+
+    # gather map exactly as DeviceProverContext builds it
+    n_vals = int(po.plan.num_targets)
+    assert len(values) == n_vals
+    flat = (
+        np.asarray(po.slot_rows, dtype=np.int64) * W
+        + np.asarray(po.slot_cols, dtype=np.int64)
+    )
+    gather = np.full(N * W, n_vals, dtype=np.int32)
+    gather[flat] = np.asarray(po.slot_targets, dtype=np.int32)
+    values_ext = np.concatenate([values, np.zeros(1, dtype=np.uint64)])
+    wm2 = values_ext[gather].reshape(N, W)
+
+    assert np.array_equal(wm, wm2)
