@@ -28,8 +28,17 @@ import os as _os
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# Default the persistent compile/AOT cache INSIDE the repo: the repo
+# directory survives builder-session restarts while ~/.cache does not
+# (observed round 5: a fresh container wiped ~/.cache and every warm
+# multi-minute TPU executable with it — the repo's .cache/ came back).
 _cache_dir = _os.environ.get(
-    "QZK_JAX_CACHE", _os.path.expanduser("~/.cache/qzk_jax_cache")
+    "QZK_JAX_CACHE",
+    _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".cache",
+        "qzk_jax_cache",
+    ),
 )
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
